@@ -1,0 +1,280 @@
+"""TPU-first iLQR trajectory optimizer.
+
+Replaces the reference's external ``trajax.optimizers.ilqr`` dependency
+(used at ``/root/reference/policy/optimizers.py:10-21`` with the solver
+knobs of ``/root/reference/policy/eval.py:10-20``) with an in-repo,
+fully-jitted implementation designed for TPU execution:
+
+  * the nonlinear rollout is a ``lax.scan``;
+  * dynamics linearization and cost quadratization are ``vmap`` +
+    ``jacfwd``/``hessian`` over the whole horizon at once (time-batched,
+    MXU-friendly), not a Python loop;
+  * the backward Riccati recursion is a ``lax.scan`` with
+    Levenberg-Marquardt regularization of ``Quu``;
+  * the line search evaluates a FIXED, static grid of step sizes in
+    parallel via ``vmap`` (fixed shapes — no data-dependent trip counts);
+  * the outer iteration is a ``lax.while_loop`` whose carry is fixed-shape,
+    so the solver vmaps cleanly over thousands of planner instances.
+
+Conventions:
+  ``cost(x, u, t)``     scalar; ``t`` runs 0..T, with ``t == T`` the
+                        terminal step (``u`` is a zero row there);
+  ``dynamics(x, u, t)`` next state, for ``t`` in 0..T-1.
+
+All math is float32 (TPU native).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverSettings:
+    """Static iLQR knobs (hashable -> usable as a jit static arg).
+
+    Defaults mirror the reference's trajax configuration
+    (``/root/reference/policy/eval.py:10-20``): maxiter=100,
+    grad_norm_threshold=1e-4, alpha_0=1.0, alpha_min=5e-5.
+    """
+
+    max_iterations: int = 100
+    grad_norm_tol: float = 1e-4
+    obj_step_tol: float = 0.0
+    alpha_0: float = 1.0
+    alpha_decay: float = 0.5
+    num_alphas: int = 16  # alpha_0 * decay**15 ~ 3e-5 <= trajax alpha_min
+    reg_init: float = 1e-6
+    reg_min: float = 1e-6
+    reg_max: float = 1e8
+    reg_up: float = 10.0
+    reg_down: float = 0.5
+    psd_delta: float = 0.0
+
+
+class ILQRSolution(struct.PyTreeNode):
+    X: jax.Array  # (T+1, n) optimized state trajectory
+    U: jax.Array  # (T, m) optimized controls
+    obj: jax.Array  # scalar objective at (X, U)
+    grad: jax.Array  # (T, m) dJ/dU at the solution
+    adjoints: jax.Array  # (T+1, n) costate trajectory (V_x along solution)
+    iterations: jax.Array  # int32 number of outer iterations used
+    converged: jax.Array  # bool
+
+
+def rollout(dynamics: Callable, U: jax.Array, x0: jax.Array) -> jax.Array:
+    """Roll controls through dynamics. Returns X with shape (T+1, n)."""
+
+    ts = jnp.arange(U.shape[0])
+
+    def step(x, ut):
+        u, t = ut
+        nx = dynamics(x, u, t)
+        return nx, nx
+
+    _, tail = jax.lax.scan(step, x0, (U, ts))
+    return jnp.concatenate([x0[None], tail], axis=0)
+
+
+def _padded(U: jax.Array) -> jax.Array:
+    """Controls padded with a zero terminal row -> shape (T+1, m)."""
+    return jnp.concatenate([U, jnp.zeros_like(U[-1:])], axis=0)
+
+
+def total_cost(cost: Callable, X: jax.Array, U: jax.Array) -> jax.Array:
+    """Sum of per-step costs incl. terminal (t == T with zero control)."""
+    T1 = X.shape[0]
+    ts = jnp.arange(T1)
+    return jnp.sum(jax.vmap(cost)(X, _padded(U), ts))
+
+
+def _linearize(dynamics, X, U):
+    ts = jnp.arange(U.shape[0])
+    jac = jax.vmap(jax.jacfwd(dynamics, argnums=(0, 1)))
+    return jac(X[:-1], U, ts)  # A: (T, n, n), B: (T, n, m)
+
+
+def _quadratize(cost, X, U):
+    T1 = X.shape[0]
+    ts = jnp.arange(T1)
+    Up = _padded(U)
+    grads = jax.vmap(jax.grad(cost, argnums=(0, 1)))
+    cx, cu = grads(X, Up, ts)
+
+    def hess(x, u, t):
+        cxx = jax.hessian(cost, argnums=0)(x, u, t)
+        cuu = jax.hessian(cost, argnums=1)(x, u, t)
+        cux = jax.jacfwd(jax.grad(cost, argnums=1), argnums=0)(x, u, t)
+        return cxx, cuu, cux
+
+    cxx, cuu, cux = jax.vmap(hess)(X, Up, ts)
+    return cx, cu, cxx, cuu, cux
+
+
+def _project_psd(mat: jax.Array, delta: float) -> jax.Array:
+    """Clamp eigenvalues of a symmetric matrix to >= delta."""
+    w, v = jnp.linalg.eigh((mat + mat.T) / 2.0)
+    w = jnp.maximum(w, delta)
+    return (v * w) @ v.T
+
+
+def _backward_pass(A, B, cx, cu, cxx, cuu, cux, reg, settings):
+    """Riccati recursion -> gains (k, K), expected improvement terms."""
+
+    n = cx.shape[-1]
+    Vx, Vxx = cx[-1], cxx[-1]
+
+    def step(carry, inputs):
+        Vx, Vxx, dv1, dv2 = carry
+        At, Bt, cxt, cut, cxxt, cuut, cuxt = inputs
+        Qx = cxt + At.T @ Vx
+        Qu = cut + Bt.T @ Vx
+        Qxx = cxxt + At.T @ Vxx @ At
+        Quu = cuut + Bt.T @ Vxx @ Bt
+        Qux = cuxt + Bt.T @ Vxx @ At
+        if settings.psd_delta > 0.0:
+            Quu_safe = _project_psd(Quu, settings.psd_delta)
+        else:
+            Quu_safe = Quu
+        Quu_reg = Quu_safe + reg * jnp.eye(Quu.shape[0], dtype=Quu.dtype)
+        # One factorization serves both the open-loop and feedback gains.
+        chol = jax.scipy.linalg.cho_factor(Quu_reg)
+        kK = jax.scipy.linalg.cho_solve(
+            chol, jnp.concatenate([Qu[:, None], Qux], axis=1)
+        )
+        k, K = -kK[:, 0], -kK[:, 1:]
+        Vx_new = Qx + K.T @ Quu @ k + K.T @ Qu + Qux.T @ k
+        Vxx_new = Qxx + K.T @ Quu @ K + K.T @ Qux + Qux.T @ K
+        Vxx_new = (Vxx_new + Vxx_new.T) / 2.0
+        dv1 = dv1 + jnp.dot(k, Qu)
+        dv2 = dv2 + 0.5 * jnp.dot(k, Quu @ k)
+        return (Vx_new, Vxx_new, dv1, dv2), (k, K, Qu, Vx_new)
+
+    inputs = (A, B, cx[:-1], cu[:-1], cxx[:-1], cuu[:-1], cux[:-1])
+    (_, _, dv1, dv2), (k, K, Qu, Vxs) = jax.lax.scan(
+        step, (Vx, Vxx, 0.0, 0.0), inputs, reverse=True
+    )
+    adjoints = jnp.concatenate([Vxs, cx[-1][None]], axis=0)
+    return k, K, Qu, dv1, dv2, adjoints
+
+
+def _forward_pass(dynamics, cost, X, U, k, K, alpha):
+    """Closed-loop rollout with step size alpha. Returns (Xnew, Unew, obj)."""
+
+    ts = jnp.arange(U.shape[0])
+
+    def step(x, inputs):
+        xref, uref, kt, Kt, t = inputs
+        u = uref + alpha * kt + Kt @ (x - xref)
+        nx = dynamics(x, u, t)
+        return nx, (nx, u)
+
+    _, (tail, Unew) = jax.lax.scan(step, X[0], (X[:-1], U, k, K, ts))
+    Xnew = jnp.concatenate([X[0][None], tail], axis=0)
+    return Xnew, Unew, total_cost(cost, Xnew, Unew)
+
+
+def _objective_grad(cost, dynamics, U, x0):
+    def f(U_):
+        return total_cost(cost, rollout(dynamics, U_, x0), U_)
+
+    return jax.grad(f)(U)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 4))
+def ilqr(
+    cost: Callable,
+    dynamics: Callable,
+    x0: jax.Array,
+    U0: jax.Array,
+    settings: SolverSettings = SolverSettings(),
+) -> ILQRSolution:
+    """Iterative LQR solve. Matches the reference planner contract
+    (X, U, obj, grad, adjoints, iterations) of
+    ``/root/reference/policy/optimizers.py:55-57`` as a typed struct."""
+
+    x0 = x0.astype(jnp.float32)
+    U0 = U0.astype(jnp.float32)
+    T, m = U0.shape
+
+    alphas = settings.alpha_0 * (
+        settings.alpha_decay ** jnp.arange(settings.num_alphas, dtype=jnp.float32)
+    )
+
+    X0 = rollout(dynamics, U0, x0)
+    obj0 = total_cost(cost, X0, U0)
+    grad0 = _objective_grad(cost, dynamics, U0, x0)
+    adj0 = jnp.zeros_like(X0)
+
+    def cond(carry):
+        _, _, _, grad, _, _, it, converged = carry
+        return jnp.logical_and(it < settings.max_iterations, ~converged)
+
+    def body(carry):
+        X, U, obj, grad, adj, reg, it, _ = carry
+        A, B = _linearize(dynamics, X, U)
+        cx, cu, cxx, cuu, cux = _quadratize(cost, X, U)
+        k, K, Qu, dv1, dv2, adjoints = _backward_pass(
+            A, B, cx, cu, cxx, cuu, cux, reg, settings
+        )
+
+        # Parallel fixed-grid line search (static shapes, one vmap).
+        Xs, Us, objs = jax.vmap(
+            lambda a: _forward_pass(dynamics, cost, X, U, k, K, a)
+        )(alphas)
+        objs = jnp.where(jnp.isfinite(objs), objs, jnp.inf)
+        best = jnp.argmin(objs)
+        best_obj = objs[best]
+        improved = best_obj < obj
+
+        Xn = jnp.where(improved, Xs[best], X)
+        Un = jnp.where(improved, Us[best], U)
+        objn = jnp.where(improved, best_obj, obj)
+        regn = jnp.where(
+            improved,
+            jnp.maximum(reg * settings.reg_down, settings.reg_min),
+            jnp.minimum(reg * settings.reg_up, settings.reg_max),
+        )
+        adjn = jnp.where(improved, adjoints, adj)
+
+        gradn = jnp.where(
+            improved, _objective_grad(cost, dynamics, Un, x0), grad
+        )
+        grad_small = jnp.linalg.norm(gradn) < settings.grad_norm_tol
+        stalled = jnp.logical_and(~improved, reg >= settings.reg_max)
+        converged = grad_small | stalled
+        if settings.obj_step_tol > 0.0:
+            step_small = jnp.logical_and(
+                improved, (obj - objn) <= settings.obj_step_tol
+            )
+            converged = converged | step_small
+        return (Xn, Un, objn, gradn, adjn, regn, it + 1, converged)
+
+    init = (
+        X0,
+        U0,
+        obj0,
+        grad0,
+        adj0,
+        jnp.float32(settings.reg_init),
+        jnp.int32(0),
+        jnp.linalg.norm(grad0) < settings.grad_norm_tol,
+    )
+    X, U, obj, grad, adj, _, it, converged = jax.lax.while_loop(
+        cond, body, init
+    )
+    return ILQRSolution(
+        X=X,
+        U=U,
+        obj=obj,
+        grad=grad,
+        adjoints=adj,
+        iterations=it,
+        converged=converged,
+    )

@@ -1,0 +1,20 @@
+"""Test harness configuration.
+
+Tests run on CPU with 8 virtual devices so that every mesh/shard_map code
+path is exercised without TPU hardware (the standard JAX recipe for testing
+multi-device logic; see SURVEY.md §4).
+"""
+
+import os
+
+# Must be set before jax is imported anywhere.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
