@@ -1,0 +1,86 @@
+"""Expert trajectory persistence and filtering.
+
+Capability parity with ``/root/reference/data_loader.py:18-33``: load a
+``trajectories.json`` with keys states/actions/rewards, keep only
+trajectories whose total reward clears a quality gate, take the top-k by
+reward, truncate to a fixed length. Adds an ``.npz`` fast path (binary,
+mmap-able) since JSON decode of big float arrays is a host bottleneck.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+
+class TrajectorySet(NamedTuple):
+    states: np.ndarray  # (N, L, x)
+    actions: np.ndarray  # (N, L, u)
+    rewards: np.ndarray  # (N, L)
+
+
+def save_trajectories(path: str, trajs: TrajectorySet) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    if path.endswith(".npz"):
+        np.savez_compressed(
+            path,
+            states=trajs.states,
+            actions=trajs.actions,
+            rewards=trajs.rewards,
+        )
+    else:
+        with open(path, "w") as fp:
+            json.dump(
+                {
+                    "states": trajs.states.tolist(),
+                    "actions": trajs.actions.tolist(),
+                    "rewards": trajs.rewards.tolist(),
+                },
+                fp,
+            )
+
+
+def load_trajectories(
+    path: str,
+    num_trajectories: Optional[int] = None,
+    trajectory_len: Optional[int] = None,
+    min_reward: float = 500.0,
+) -> TrajectorySet:
+    """Load + quality-gate expert trajectories.
+
+    The reference hardcodes the >500 reward gate
+    (``data_loader.py:25-27``); here it is a parameter with the same
+    default. Set ``min_reward=None``-like (-inf) to keep everything.
+    """
+    if path.endswith(".npz"):
+        data = np.load(path)
+        states, actions, rewards = (
+            np.asarray(data["states"], np.float32),
+            np.asarray(data["actions"], np.float32),
+            np.asarray(data["rewards"], np.float32),
+        )
+    else:
+        with open(path, "r") as fp:
+            data = json.load(fp)
+        states = np.asarray(data["states"], np.float32)
+        actions = np.asarray(data["actions"], np.float32)
+        rewards = np.asarray(data["rewards"], np.float32)
+
+    totals = rewards.sum(axis=1)
+    order = np.argsort(-totals)
+    order = [i for i in order if totals[i] > min_reward]
+    if num_trajectories is not None:
+        order = order[:num_trajectories]
+    if not order:
+        raise ValueError(
+            f"no trajectories in {path!r} exceed total reward {min_reward}"
+        )
+    sl = slice(None, trajectory_len)
+    return TrajectorySet(
+        states=states[order, sl],
+        actions=actions[order, sl],
+        rewards=rewards[order, sl],
+    )

@@ -1,0 +1,77 @@
+"""Vectorized sliding-window dataset construction.
+
+Capability parity with the reference's per-element Python loops
+(``/root/reference/data_loader.py:70-129``), rewritten as one gather per
+trajectory set (index arithmetic, no host loops) so the datasets can be
+built on device.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _window_indices(num_windows: int, width: int) -> jax.Array:
+    return jnp.arange(num_windows)[:, None] + jnp.arange(width)[None, :]
+
+
+def cost_windows(
+    states: jax.Array, history: int, horizon: int
+) -> Tuple[jax.Array, jax.Array]:
+    """Cost-training windows from (N, L, x) state trajectories.
+
+    Returns ``(X, Y)``: X = (num, history + 1, x) past windows (trajectories
+    are zero-padded at the front by `history`, as the reference does at
+    ``data_loader.py:78-84``), Y = (num, horizon + 1, x) future windows.
+    """
+    n, length, x_size = states.shape
+    padded = jnp.concatenate(
+        [jnp.zeros((n, history, x_size), states.dtype), states], axis=1
+    )
+    num = length - horizon - history
+    starts = jnp.arange(num) + history  # position of "now" in padded frame
+    x_idx = starts[:, None] + jnp.arange(history + 1)[None, :] - history
+    y_idx = starts[:, None] + jnp.arange(horizon + 1)[None, :]
+    X = padded[:, x_idx]  # (N, num, history+1, x): past incl. now
+    Y = padded[:, y_idx]  # (N, num, horizon+1, x): now and future
+    return (
+        X.reshape(n * num, history + 1, x_size),
+        Y.reshape(n * num, horizon + 1, x_size),
+    )
+
+
+def sequence_windows(
+    states: jax.Array, actions: jax.Array, seqlen: int
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """(xseq, useq, next_xseq) windows from (N, L, ·) trajectories —
+    the dynamics/expert dataset schema (``data_loader.py:102-129``)."""
+    n, length, x_size = states.shape
+    u_size = actions.shape[-1]
+    num = length - seqlen
+    idx = _window_indices(num, seqlen)
+    X = states[:, idx].reshape(n * num, seqlen, x_size)
+    U = actions[:, idx].reshape(n * num, seqlen, u_size)
+    Y = states[:, idx + 1].reshape(n * num, seqlen, x_size)
+    return X, U, Y
+
+
+def shuffle_and_split(dataset: tuple, key: jax.Array, train_frac: float = 0.8):
+    """Random shuffle + train/test split (``data_loader.py:60-68``)."""
+    size = dataset[0].shape[0]
+    perm = jax.random.permutation(key, size)
+    cut = int(size * train_frac)
+    train = tuple(d[perm[:cut]] for d in dataset)
+    test = tuple(d[perm[cut:]] for d in dataset)
+    return train, test
+
+
+def minibatch_indices(
+    key: jax.Array, datasize: int, steps: int, batch_size: int
+) -> jax.Array:
+    """(steps, batch) random index matrix — one scanned epoch's minibatches
+    (sampling with replacement, as the reference's ``jax.random.choice``
+    at e.g. ``norm/cost_trainer.py:70-73``)."""
+    return jax.random.choice(key, datasize, shape=(steps, batch_size))

@@ -1,0 +1,125 @@
+"""Fully on-device closed-loop rollouts.
+
+Replaces the reference's host-side rollout loop
+(``/root/reference/utils.py:254-290``), which crossed the device<->host
+boundary and re-jitted on growing deque shapes every control step. Here an
+entire episode is ONE ``lax.scan``:
+
+    plan (iLQR on device) -> env.step (pure JAX) -> history update
+
+with fixed-shape rolling history windows (zero-initialized, matching the
+reference's zero-padded buffer start), so thousands of episodes batch with
+``vmap``/``shard_map``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gan_mpc_tpu.data.normalizer import Normalizer
+
+
+class EpisodeData(NamedTuple):
+    states: jax.Array  # (T, obs) raw (unnormalized) observations
+    actions: jax.Array  # (T, act)
+    rewards: jax.Array  # (T,)
+
+
+def episode_rollout(
+    env,
+    env_params,
+    policy_fn: Callable,
+    policy_params,
+    normalizer: Normalizer,
+    key: jax.Array,
+    num_steps: int,
+    history: int,
+) -> EpisodeData:
+    """Run one closed-loop episode entirely inside jit.
+
+    ``policy_fn(policy_params, history_x, history_u) -> action`` where
+    history_x is (history + 1, obs) NORMALIZED states (most recent last)
+    and history_u is (history, act) — the contract of the reference's
+    ``EvalMPC.get_optimal_action`` (``/root/reference/policy/eval.py:126``).
+    """
+
+    obs_size, act_size = env.obs_size, env.act_size
+    init_state = env.reset(env_params, key)
+
+    hist_x0 = jnp.zeros((history + 1, obs_size), dtype=jnp.float32)
+    hist_u0 = jnp.zeros((history, act_size), dtype=jnp.float32)
+
+    def step_fn(carry, _):
+        env_state, hist_x, hist_u = carry
+        obs = env.observe(env_params, env_state)
+        xn = normalizer.normalize_state(obs)
+        hist_x = jnp.roll(hist_x, -1, axis=0).at[-1].set(xn)
+        u = policy_fn(policy_params, hist_x, hist_u)
+        u = jnp.asarray(u, dtype=jnp.float32)
+        hist_u = jnp.roll(hist_u, -1, axis=0).at[-1].set(
+            normalizer.normalize_action(u)
+        )
+        env_state, reward = env.step(env_params, env_state, u)
+        return (env_state, hist_x, hist_u), (obs, u, reward)
+
+    _, (states, actions, rewards) = jax.lax.scan(
+        step_fn, (init_state, hist_x0, hist_u0), None, length=num_steps
+    )
+    return EpisodeData(states=states, actions=actions, rewards=rewards)
+
+
+def batched_rollout(
+    env,
+    env_params,
+    policy_fn: Callable,
+    policy_params,
+    normalizer: Normalizer,
+    key: jax.Array,
+    num_steps: int,
+    history: int,
+    num_envs: int,
+) -> EpisodeData:
+    """vmap N independent episodes (shared params, different reset keys)."""
+    keys = jax.random.split(key, num_envs)
+    return jax.vmap(
+        lambda k: episode_rollout(
+            env,
+            env_params,
+            policy_fn,
+            policy_params,
+            normalizer,
+            k,
+            num_steps,
+            history,
+        )
+    )(keys)
+
+
+def average_return(
+    env,
+    env_params,
+    policy_fn,
+    policy_params,
+    normalizer,
+    key,
+    num_steps,
+    history,
+    num_runs,
+) -> jax.Array:
+    """Mean episode return over ``num_runs`` rollouts (the reference's
+    ``avg_run_dm_policy`` metric, ``/root/reference/utils.py:293-306``)."""
+    ep = batched_rollout(
+        env,
+        env_params,
+        policy_fn,
+        policy_params,
+        normalizer,
+        key,
+        num_steps,
+        history,
+        max(num_runs, 1),
+    )
+    return jnp.mean(jnp.sum(ep.rewards, axis=-1))

@@ -1,0 +1,102 @@
+"""Data layer tests: windows, normalizer, replay buffer, trajectory IO."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gan_mpc_tpu.data import (
+    Normalizer,
+    ReplayBuffer,
+    TrajectorySet,
+    cost_windows,
+    load_trajectories,
+    save_trajectories,
+    sequence_windows,
+    shuffle_and_split,
+)
+
+KEY = jax.random.PRNGKey(0)
+
+
+def test_sequence_windows_match_manual():
+    states = jnp.arange(2 * 10 * 1, dtype=jnp.float32).reshape(2, 10, 1)
+    actions = -states[..., :1]
+    X, U, Y = sequence_windows(states, actions, seqlen=4)
+    assert X.shape == (2 * 6, 4, 1)
+    np.testing.assert_array_equal(np.asarray(X[0, :, 0]), [0, 1, 2, 3])
+    np.testing.assert_array_equal(np.asarray(Y[0, :, 0]), [1, 2, 3, 4])
+    np.testing.assert_array_equal(np.asarray(U[0]), np.asarray(-X[0]))
+    # second trajectory's first window starts at its own origin
+    np.testing.assert_array_equal(np.asarray(X[6, :, 0]), [10, 11, 12, 13])
+
+
+def test_cost_windows_zero_padded_history():
+    states = jnp.arange(1 * 12 * 1, dtype=jnp.float32).reshape(1, 12, 1) + 1
+    X, Y = cost_windows(states, history=2, horizon=3)
+    assert X.shape == (12 - 3 - 2, 3, 1)
+    assert Y.shape == (12 - 3 - 2, 4, 1)
+    # first window: history rows are the zero padding
+    np.testing.assert_array_equal(np.asarray(X[0, :, 0]), [0, 0, 1])
+    np.testing.assert_array_equal(np.asarray(Y[0, :, 0]), [1, 2, 3, 4])
+    # X last row ("now") always equals Y first row
+    np.testing.assert_array_equal(np.asarray(X[:, -1]), np.asarray(Y[:, 0]))
+
+
+def test_shuffle_and_split():
+    data = (jnp.arange(100).reshape(100, 1),)
+    (train,), (test,) = shuffle_and_split(data, KEY, 0.8)
+    assert train.shape == (80, 1) and test.shape == (20, 1)
+    merged = np.sort(np.concatenate([np.asarray(train), np.asarray(test)]), 0)
+    np.testing.assert_array_equal(merged[:, 0], np.arange(100))
+
+
+def test_normalizer_fit_and_roundtrip():
+    states = jax.random.normal(KEY, (5, 30, 3)) * 4.0 + 2.0
+    actions = jax.random.normal(KEY, (5, 30, 1))
+    norm = Normalizer.fit(states, actions)
+    z = norm.normalize_state(states.reshape(-1, 3))
+    np.testing.assert_allclose(np.asarray(z.mean(0)), 0.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(z.std(0)), 1.0, atol=1e-4)
+    back = norm.denormalize_state(z)
+    np.testing.assert_allclose(
+        np.asarray(back), np.asarray(states.reshape(-1, 3)), rtol=1e-5
+    )
+    # action normalizer defaults to identity (reference semantics)
+    np.testing.assert_array_equal(
+        np.asarray(norm.normalize_action(actions)), np.asarray(actions)
+    )
+
+
+def test_replay_buffer_ring_semantics():
+    buf = ReplayBuffer.create(capacity=8, seqlen=3, x_size=2, u_size=1)
+    states = jnp.ones((1, 9, 2))  # -> 6 windows
+    actions = jnp.ones((1, 9, 1))
+    buf = jax.jit(lambda b: b.add_trajectories(states, actions))(buf)
+    assert int(buf.size) == 6 and int(buf.ptr) == 6
+    buf = buf.add_trajectories(2 * states, 2 * actions)  # 6 more, wraps
+    assert int(buf.size) == 8
+    assert int(buf.ptr) == 4
+    # slots 0..3 overwritten by the second add (wrapped), 4..5 original
+    assert float(buf.states[0, 0, 0]) == 2.0
+    assert float(buf.states[5, 0, 0]) == 1.0
+    x, u, y = buf.sample(KEY, steps=4, batch_size=16)
+    assert x.shape == (4, 16, 3, 2)
+
+
+def test_trajectory_io_and_filtering(tmp_path):
+    rng = np.random.RandomState(0)
+    states = rng.randn(4, 20, 3).astype(np.float32)
+    actions = rng.randn(4, 20, 1).astype(np.float32)
+    rewards = np.zeros((4, 20), np.float32)
+    rewards[0] += 40.0  # total 800: keep (rank 1)
+    rewards[1] += 10.0  # total 200: filtered out
+    rewards[2] += 50.0  # total 1000: keep (rank 0)
+    rewards[3] += 30.0  # total 600: keep (rank 2)
+    ts = TrajectorySet(states, actions, rewards)
+    for fname in ["t.json", "t.npz"]:
+        path = str(tmp_path / fname)
+        save_trajectories(path, ts)
+        out = load_trajectories(path, num_trajectories=2, trajectory_len=10)
+        assert out.states.shape == (2, 10, 3)
+        np.testing.assert_allclose(out.states[0], states[2, :10], rtol=1e-6)
+        np.testing.assert_allclose(out.states[1], states[0, :10], rtol=1e-6)
