@@ -1,0 +1,194 @@
+"""The MPC policy: learned cost + learned dynamics + expert goal generator
+wired into the differentiable iLQR planner.
+
+Capability parity with the reference policy layer
+(``/root/reference/policy/eval.py`` EvalMPC + ``policy/base.py`` BaseMPC),
+unified into one class:
+
+  * ``plan``/``act`` with history-warmed dynamics carry  == EvalMPC
+    (inference hot path, ``eval.py:109-128``);
+  * ``plan(..., warm_start_carry=False)`` with a zero carry == BaseMPC's
+    train-time simplification (``base.py:31-38``);
+  * ``batched_loss_and_grad`` == BaseMPC.loss_and_grad
+    (``base.py:87-128``): vmapped differentiable planning, mean loss and
+    mean grads over the batch — except here the bilevel gradient arrives
+    through the planner's custom VJP, so the outer loss is ordinary JAX.
+
+``params`` layout (same component split the reference uses so gradient
+masking semantics carry over): ``{"mpc_weights", "cost_params",
+"dynamics_params", "expert_params"[, "critic_params"]}``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from gan_mpc_tpu.models.cost import MPCCost
+from gan_mpc_tpu.models.dynamics import LearnedDynamics
+from gan_mpc_tpu.models.expert import ExpertPredictor
+from gan_mpc_tpu.planner import SolverSettings, make_implicit_planner
+from gan_mpc_tpu.planner.ilqr import ILQRSolution
+
+
+class MPCPolicy:
+    def __init__(
+        self,
+        cost_model: MPCCost,
+        dynamics_model: LearnedDynamics,
+        expert_model: ExpertPredictor,
+        critic_model=None,
+        horizon: int = 5,
+        settings: SolverSettings = SolverSettings(),
+        bilevel_solver: str = "dense",
+        bilevel_ridge: float = 1e-5,
+    ):
+        self.cost_model = cost_model
+        self.dynamics_model = dynamics_model
+        self.expert_model = expert_model
+        self.critic_model = critic_model
+        self.horizon = horizon
+        self.x_size = dynamics_model.x_size
+
+        def planner_cost(xc, u, t, theta, goal_X):
+            return cost_model(
+                xc, u, t, theta["cost_params"], theta["mpc_weights"], goal_X
+            )
+
+        def planner_dynamics(xc, u, t, theta):
+            return dynamics_model(xc, u, t, theta["dynamics_params"])
+
+        self._plan = make_implicit_planner(
+            planner_cost,
+            planner_dynamics,
+            settings,
+            solver=bilevel_solver,
+            ridge=bilevel_ridge,
+        )
+
+    # -- parameter initialization ---------------------------------------
+
+    def init(
+        self,
+        key: jax.Array,
+        mpc_weights,
+        u_size: int,
+        expert_params=None,
+        critic_x_size: Optional[int] = None,
+    ) -> dict:
+        """Initialize the composite parameter dict
+        (cf. ``/root/reference/policy/eval.py:56-62``). A pretrained
+        ``expert_params`` pytree is normally passed in (the reference loads
+        it from disk); if None, fresh parameters are initialized."""
+        kc, kd, ke, kq = jax.random.split(key, 4)
+        xc_size = self.x_size + self.dynamics_model.carry_size
+        params = {
+            "mpc_weights": jnp.asarray(mpc_weights, dtype=jnp.float32),
+            "cost_params": self.cost_model.init(kc, xc_size),
+            "dynamics_params": self.dynamics_model.init(kd, u_size),
+            "expert_params": (
+                expert_params
+                if expert_params is not None
+                else self.expert_model.init_params(ke)
+            ),
+        }
+        if self.critic_model is not None:
+            params["critic_params"] = self.critic_model.init_params(
+                kq, critic_x_size or self.x_size
+            )
+        return params
+
+    # -- planning --------------------------------------------------------
+
+    def _theta(self, params: dict) -> dict:
+        return {
+            "mpc_weights": params["mpc_weights"],
+            "cost_params": params["cost_params"],
+            "dynamics_params": params["dynamics_params"],
+        }
+
+    def goals_and_warm_start(self, params, history_x):
+        """Expert-predicted goal states + warm-start actions
+        (``/root/reference/policy/eval.py:88-107``)."""
+        carry = self.expert_model.warm_carry(
+            params["expert_params"], history_x
+        )
+        return self.expert_model.generate(
+            params["expert_params"], carry, self.horizon
+        )
+
+    def plan(
+        self,
+        params: dict,
+        history_x: jax.Array,
+        history_u: jax.Array,
+        warm_start_carry: bool = True,
+    ) -> ILQRSolution:
+        """Solve the MPC problem from an observed (normalized) history.
+
+        history_x: (history + 1, x), most recent last; history_u:
+        (history, u). Differentiable in params via the implicit VJP.
+        """
+        goal_xseq, init_useq = self.goals_and_warm_start(params, history_x)
+        if warm_start_carry:
+            carry = self.dynamics_model.warm_carry(
+                params["dynamics_params"], history_x[:-1], history_u
+            )
+        else:
+            carry = self.dynamics_model.zero_carry()
+        xc0 = jnp.concatenate([history_x[-1], carry], axis=-1)
+        return self._plan(
+            self._theta(params), xc0, init_useq, (goal_xseq,), ()
+        )
+
+    def act(self, params, history_x, history_u) -> jax.Array:
+        """First optimal action — the per-env-step inference hot path
+        (``/root/reference/policy/eval.py:126-128``)."""
+        return self.plan(params, history_x, history_u).U[0]
+
+    def planned_states(self, sol: ILQRSolution) -> jax.Array:
+        """Strip the packed dynamics carry: (horizon + 1, x_size)."""
+        return sol.X[:, : self.x_size]
+
+    # -- training --------------------------------------------------------
+
+    def batched_loss_and_grad(
+        self,
+        params: dict,
+        history_X: jax.Array,
+        loss_fn: Callable,
+        loss_args: tuple = (),
+        loss_vmap_axes: tuple = (0,),
+    ):
+        """Mean loss and mean grads of a planner-outer loss over a batch of
+        histories. ``loss_fn(policy, sol, params, *args) -> scalar``.
+
+        history_X: (batch, history + 1, x). Equivalent to the reference's
+        ``BaseMPC.loss_and_grad`` (``policy/base.py:87-128``) with the
+        train-time zero dynamics carry.
+        """
+
+        def single(history_x, params, *args):
+            zeros_u = jnp.zeros(
+                (history_x.shape[0] - 1, self._u_size_of(params)),
+                jnp.float32,
+            )
+            sol = self.plan(
+                params, history_x, zeros_u, warm_start_carry=False
+            )
+            return loss_fn(self, sol, params, *args)
+
+        def batch_loss(params):
+            losses = jax.vmap(
+                lambda hx, *a: single(hx, params, *a),
+                in_axes=(0,) + loss_vmap_axes[: len(loss_args)],
+            )(history_X, *loss_args)
+            return jnp.mean(losses)
+
+        return jax.value_and_grad(batch_loss)(params)
+
+    def _u_size_of(self, params) -> int:
+        # infer action size from the expert head (static under jit)
+        return self.expert_model.u_size

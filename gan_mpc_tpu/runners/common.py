@@ -1,0 +1,194 @@
+"""Config-driven factories and shared runner plumbing.
+
+Capability parity with the reference's wiring layer
+(``/root/reference/utils.py:169-227`` model factories +
+``norm/runner.py:13-76`` policy/optimizer/normalizer assembly).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+from gan_mpc_tpu.config import Config
+from gan_mpc_tpu.data.normalizer import Normalizer
+from gan_mpc_tpu.data.trajectories import (
+    TrajectorySet,
+    load_trajectories,
+    save_trajectories,
+)
+from gan_mpc_tpu.envs import apply_physics_shift, make_env
+from gan_mpc_tpu.models import (
+    CostFeatureNet,
+    ExpertPredictor,
+    LearnedDynamics,
+    LSTMDynamicsNet,
+    MPCCost,
+    ResidualMLPDynamicsNet,
+    SequenceCritic,
+)
+from gan_mpc_tpu.planner import SolverSettings
+from gan_mpc_tpu.policies import MPCPolicy
+from gan_mpc_tpu.runners import collect
+
+
+def build_cost_model(config: Config, horizon: int) -> MPCCost:
+    mlp = config.mpc.model.cost.mlp
+    net = CostFeatureNet(
+        hidden=tuple(mlp.hidden), features_out=mlp.features_out
+    )
+    return MPCCost(net, horizon=horizon)
+
+
+def build_dynamics_model(config: Config, x_size: int) -> LearnedDynamics:
+    mcfg = config.mpc.model.dynamics
+    if mcfg.use == "mlp":
+        net = ResidualMLPDynamicsNet(
+            x_size=x_size, hidden=tuple(mcfg.mlp.hidden)
+        )
+    elif mcfg.use == "lstm":
+        net = LSTMDynamicsNet(
+            x_size=x_size,
+            features=mcfg.lstm.features,
+            hidden=tuple(mcfg.lstm.hidden),
+        )
+    else:
+        raise ValueError(f"dynamics.use must be mlp|lstm, got {mcfg.use!r}")
+    return LearnedDynamics(net)
+
+
+def build_expert_model(
+    config: Config, x_size: int, u_size: int
+) -> ExpertPredictor:
+    mcfg = config.expert_prediction.model
+    if mcfg.use == "lstm":
+        return ExpertPredictor(
+            x_size=x_size,
+            u_size=u_size,
+            arch="lstm",
+            features=mcfg.lstm.features,
+            hidden=tuple(mcfg.lstm.hidden),
+        )
+    if mcfg.use == "mlp":
+        return ExpertPredictor(
+            x_size=x_size,
+            u_size=u_size,
+            arch="mlp",
+            features=0,
+            hidden=tuple(mcfg.mlp.hidden),
+        )
+    raise ValueError(f"expert model.use must be mlp|lstm, got {mcfg.use!r}")
+
+
+def build_critic_model(config: Config) -> SequenceCritic:
+    mcfg = config.mpc.model.critic
+    if mcfg.use != "lstm":
+        raise ValueError("critic supports only the lstm architecture")
+    return SequenceCritic(
+        features=mcfg.lstm.features, hidden=tuple(mcfg.lstm.hidden)
+    )
+
+
+def solver_settings(config: Config) -> SolverSettings:
+    mpc = config.mpc
+    return SolverSettings(
+        max_iterations=mpc.get_path("solver.max_iterations", 100),
+        grad_norm_tol=mpc.get_path("solver.grad_norm_tol", 1e-4),
+    )
+
+
+def build_policy(
+    config: Config,
+    x_size: int,
+    u_size: int,
+    with_critic: bool = False,
+    expert_params=None,
+    key=None,
+):
+    """Returns (policy, params)."""
+    horizon = config.mpc.horizon
+    policy = MPCPolicy(
+        cost_model=build_cost_model(config, horizon),
+        dynamics_model=build_dynamics_model(config, x_size),
+        expert_model=build_expert_model(config, x_size, u_size),
+        critic_model=build_critic_model(config) if with_critic else None,
+        horizon=horizon,
+        settings=solver_settings(config),
+        bilevel_solver=config.get_path("mpc.solver.bilevel", "dense"),
+    )
+    weights_cfg = config.mpc.model.cost.weights
+    mpc_weights = (weights_cfg.action, weights_cfg.state, weights_cfg.terminal)
+    key = key if key is not None else jax.random.PRNGKey(config.seed)
+    params = policy.init(
+        key, mpc_weights, u_size, expert_params=expert_params,
+        critic_x_size=x_size,
+    )
+    return policy, params
+
+
+def build_normalizer(config: Config, trajs: TrajectorySet) -> Normalizer:
+    ncfg = config.mpc.normalizer
+    return Normalizer.fit(
+        jnp.asarray(trajs.states),
+        jnp.asarray(trajs.actions),
+        normalize_state=(ncfg.state == "standard_norm"),
+        normalize_action=(ncfg.action == "standard_norm"),
+    )
+
+
+def trajectories_path(config: Config) -> str:
+    workdir = config.get_path("runtime.workdir", "runs")
+    return os.path.join(
+        workdir, "expert_trajectories", config.env.name, "trajectories.npz"
+    )
+
+
+def ensure_trajectories(config: Config) -> TrajectorySet:
+    """Load expert trajectories; if absent, collect them with the scripted
+    expert (the reference relies on an external RL pipeline here)."""
+    path = config.get_path("env.trajectories_path") or trajectories_path(
+        config
+    )
+    train_cfg = config.mpc.train
+    min_reward = train_cfg.get_path("min_expert_reward", 500.0)
+    if not os.path.exists(path):
+        env = make_env(config.env.name)
+        trajs = collect.collect_expert_trajectories(
+            env,
+            max(train_cfg.num_trajectories, 4),
+            jax.random.PRNGKey(config.seed + 7),
+            num_steps=config.get_path("env.expert_episode_steps", 1000),
+        )
+        save_trajectories(path, trajs)
+    return load_trajectories(
+        path,
+        num_trajectories=train_cfg.num_trajectories,
+        trajectory_len=train_cfg.trajectory_len,
+        min_reward=min_reward,
+    )
+
+
+def imitator_env(config: Config):
+    """(env, shifted physics params) for the imitator domain
+    (``/root/reference/utils.py:43-75``)."""
+    icfg = config.env.imitator
+    env = make_env(icfg.name)
+    params = env.default_params()
+    shifts = [dict(kv) for kv in (icfg.get_path("physics") or [])]
+    if shifts:
+        params = apply_physics_shift(params, shifts)
+    return env, params
+
+
+def expert_model_dir(config: Config) -> str:
+    workdir = config.get_path("runtime.workdir", "runs")
+    return os.path.join(workdir, "trained_models", "expert", config.env.name)
+
+
+def imitator_model_dir(config: Config, family: str) -> str:
+    workdir = config.get_path("runtime.workdir", "runs")
+    return os.path.join(
+        workdir, "trained_models", "imitator", config.env.name, family
+    )

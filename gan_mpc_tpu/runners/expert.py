@@ -1,0 +1,124 @@
+"""Expert prediction model runner.
+
+Capability parity with ``/root/reference/expert/runner.py``: load expert
+trajectories, fit the normalizer, build sequence windows, train the
+autoregressive predictor, evaluate it closed-loop in the (shifted) env,
+and persist params + config under an auto-increment run directory.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from gan_mpc_tpu.config import Config
+from gan_mpc_tpu.data.windows import sequence_windows, shuffle_and_split
+from gan_mpc_tpu.envs.rollout import average_return
+from gan_mpc_tpu.runners import common
+from gan_mpc_tpu.training.expert import train_expert
+from gan_mpc_tpu.utils import io
+
+
+def expert_eval_policy(model):
+    """Closed-loop policy from the predictor: teacher-forced replay of the
+    observed history, act with the final predicted action
+    (``/root/reference/expert/runner.py:95-103``)."""
+
+    def policy_fn(params, history_x, history_u):
+        del history_u
+        carry = model.init_carry(history_x[0])
+        _, (_, useq) = model.apply(params, carry, history_x, True)
+        return useq[-1]
+
+    return policy_fn
+
+
+def run(config: Config, log_fn=print):
+    key = jax.random.PRNGKey(config.seed)
+    env = common.make_env(config.env.name)
+    trajs = common.ensure_trajectories(config)
+    normalizer = common.build_normalizer(config, trajs)
+
+    tcfg = config.expert_prediction.train
+    states = normalizer.normalize_state(jnp.asarray(trajs.states))
+    actions = normalizer.normalize_action(jnp.asarray(trajs.actions))
+    windows = sequence_windows(states, actions, tcfg.seqlen)
+    key, k_split, k_train, k_eval = jax.random.split(key, 4)
+    train_data, test_data = shuffle_and_split(windows, k_split)
+
+    model = common.build_expert_model(config, env.obs_size, env.act_size)
+    params = model.init_params(key)
+    tx = optax.chain(
+        optax.clip_by_global_norm(100.0), optax.adam(tcfg.learning_rate)
+    )
+    opt_state = tx.init(params)
+
+    params, opt_state, train_losses, test_loss = train_expert(
+        model,
+        params,
+        tx,
+        opt_state,
+        train_data,
+        test_data,
+        num_epochs=tcfg.num_epochs,
+        batch_size=tcfg.batch_size,
+        key=k_train,
+        discount_factor=tcfg.discount_factor,
+        teacher_forcing_factor=tcfg.teacher_forcing_factor,
+        log_fn=log_fn,
+    )
+
+    env_im, env_im_params = common.imitator_env(config)
+    avg_reward = float(
+        average_return(
+            env_im,
+            env_im_params,
+            jax.jit(expert_eval_policy(model)),
+            params,
+            normalizer,
+            k_eval,
+            num_steps=config.get_path("mpc.evaluate.max_interactions", 1000),
+            history=tcfg.seqlen - 1,
+            num_runs=config.get_path("expert_prediction.eval_runs", 3),
+        )
+    )
+
+    run_dir = io.new_run_dir(common.expert_model_dir(config))
+    io.save_params(params, os.path.join(run_dir, "params.msgpack"))
+    io.save_json(
+        {
+            "env": config.env.to_dict(),
+            "model": config.expert_prediction.model.to_dict(),
+            "train": tcfg.to_dict(),
+            "loss": {
+                "train_loss": round(train_losses[-1], 5),
+                "test_loss": round(test_loss, 5),
+            },
+            "avg_reward": round(avg_reward, 2),
+        },
+        os.path.join(run_dir, "config.json"),
+    )
+    if log_fn is not None:
+        log_fn(f"[expert] avg_reward {avg_reward:.2f} saved to {run_dir}")
+    return {
+        "params": params,
+        "run_dir": run_dir,
+        "avg_reward": avg_reward,
+        "train_loss": train_losses[-1],
+        "test_loss": test_loss,
+    }
+
+
+def load_pretrained_expert(config: Config, template_params):
+    """Load expert params by ``mpc.model.expert.load_id`` (or latest run),
+    mirroring ``/root/reference/expert/expert_model.py:40-50``."""
+    run_dir = io.latest_run_dir(
+        common.expert_model_dir(config),
+        config.get_path("mpc.model.expert.load_id"),
+    )
+    return io.load_params(
+        template_params, os.path.join(run_dir, "params.msgpack")
+    )

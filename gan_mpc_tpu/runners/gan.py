@@ -1,0 +1,152 @@
+"""GAN-MPC training runner (the reference's ``gan`` app).
+
+Capability parity with ``/root/reference/gan/runner.py``: per epoch,
+alternate dynamics (on-policy) -> critic (discriminator on planned vs
+expert futures) -> cost/generator (bilevel planner gradient against the
+critic), then evaluate and persist.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+from gan_mpc_tpu.config import Config
+from gan_mpc_tpu.policies.losses import gan_generator_loss
+from gan_mpc_tpu.runners import common, l2 as l2_runner
+from gan_mpc_tpu.training.cost import train_cost
+from gan_mpc_tpu.training.critic import train_critic
+from gan_mpc_tpu.training.dynamics import train_dynamics
+from gan_mpc_tpu.training.masking import masked_adam
+from gan_mpc_tpu.utils import io
+
+
+def run(config: Config, log_fn=print):
+    ctx = l2_runner.setup(config, with_critic=True)
+    policy, params = ctx["policy"], ctx["params"]
+    tcfg = config.mpc.train
+    ccfg, dcfg, qcfg = tcfg.cost, tcfg.dynamics, tcfg.critic
+
+    cost_opt, cost_opt_state = masked_adam(
+        params, ccfg.no_grads, ccfg.learning_rate
+    )
+    dyn_opt, dyn_opt_state = masked_adam(
+        params, dcfg.no_grads, dcfg.learning_rate
+    )
+    critic_opt, critic_opt_state = masked_adam(
+        params, qcfg.no_grads, qcfg.learning_rate
+    )
+
+    key = ctx["key"]
+    replay = ctx["replay"]
+    cost_train, cost_test = ctx["cost_data"]
+    history = {
+        "dynamics_train_losses": [],
+        "critic_train_losses": [],
+        "critic_test_losses": [],
+        "cost_train_losses": [],
+        "cost_test_losses": [],
+        "episode_returns": [],
+    }
+    for epoch in range(1, tcfg.num_epochs + 1):
+        key, k_dyn, k_critic, k_cost = jax.random.split(key, 4)
+        params, dyn_opt_state, replay, ep_returns, dyn_losses = train_dynamics(
+            policy.dynamics_model,
+            dyn_opt,
+            params,
+            dyn_opt_state,
+            ctx["dyn_train"],
+            replay,
+            ctx["collect_fn"],
+            ctx["normalizer"],
+            num_episodes=dcfg.num_episodes,
+            num_updates=dcfg.num_updates,
+            batch_size=dcfg.batch_size,
+            discount_factor=dcfg.discount_factor,
+            teacher_forcing_factor=dcfg.teacher_forcing_factor,
+            key=k_dyn,
+            epoch=epoch,
+        )
+        params, critic_opt_state, critic_losses, critic_tests = train_critic(
+            policy,
+            critic_opt,
+            params,
+            critic_opt_state,
+            cost_train,
+            cost_test,
+            num_updates=qcfg.num_updates,
+            batch_size=qcfg.batch_size,
+            key=k_critic,
+        )
+        params, cost_opt_state, gen_losses, gen_tests = train_cost(
+            policy,
+            cost_opt,
+            params,
+            cost_opt_state,
+            cost_train,
+            cost_test,
+            gan_generator_loss,
+            num_updates=ccfg.num_updates,
+            batch_size=ccfg.batch_size,
+            polyak_factor=ccfg.polyak_factor,
+            key=k_cost,
+            has_targets=True,  # targets ignored by the GAN loss but keep
+            # the same minibatch stream as the reference
+        )
+        history["dynamics_train_losses"] += dyn_losses
+        history["critic_train_losses"] += critic_losses
+        history["critic_test_losses"] += critic_tests
+        history["cost_train_losses"] += gen_losses
+        history["cost_test_losses"] += gen_tests
+        history["episode_returns"] += ep_returns
+        if log_fn is not None:
+            log_fn(
+                f"[gan] epoch {epoch} return {ep_returns[-1]:.1f} "
+                f"dyn {dyn_losses[-1]:.5f} critic {critic_losses[-1]:.5f} "
+                f"gen {gen_losses[-1]:.5f}"
+            )
+
+    ctx["params"] = params
+    key, k_eval = jax.random.split(key)
+    avg_reward = l2_runner.evaluate(config, ctx, k_eval)
+
+    run_dir = io.new_run_dir(common.imitator_model_dir(config, "gan"))
+    io.save_params(params, os.path.join(run_dir, "params.msgpack"))
+    io.save_json(
+        {
+            "seed": config.seed,
+            "env": config.env.to_dict(),
+            "reward": round(avg_reward, 2),
+            "loss": {
+                "dynamics": {"train_loss": round(history["dynamics_train_losses"][-1], 5)},
+                "critic": {
+                    "train_loss": round(history["critic_train_losses"][-1], 5),
+                    "test_loss": round(history["critic_test_losses"][-1], 5),
+                },
+                "cost": {
+                    "train_loss": round(history["cost_train_losses"][-1], 5),
+                    "test_loss": round(history["cost_test_losses"][-1], 5),
+                },
+            },
+            "policy": config.mpc.to_dict(),
+        },
+        os.path.join(run_dir, "config.json"),
+    )
+    for name, values in history.items():
+        io.save_json(values, os.path.join(run_dir, f"{name}.json"))
+    if log_fn is not None:
+        log_fn(f"[gan] avg_reward {avg_reward:.2f} saved to {run_dir}")
+    return {
+        "params": params,
+        "run_dir": run_dir,
+        "avg_reward": avg_reward,
+        "history": history,
+    }
+
+
+if __name__ == "__main__":
+    import sys
+
+    path = sys.argv[1] if len(sys.argv) > 1 else "configs/gan_pendulum.yaml"
+    run(Config.from_yaml(path))

@@ -1,0 +1,233 @@
+"""L2-MPC training runner (the reference's ``norm`` app).
+
+Capability parity with ``/root/reference/norm/runner.py``: alternating
+per-epoch training of the dynamics model (on-policy) and the cost model
+(bilevel through the planner, L2 outer loss), followed by closed-loop
+evaluation and run persistence.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+
+from gan_mpc_tpu.config import Config
+from gan_mpc_tpu.data.buffers import ReplayBuffer
+from gan_mpc_tpu.data.windows import (
+    cost_windows,
+    sequence_windows,
+    shuffle_and_split,
+)
+from gan_mpc_tpu.envs.rollout import average_return, batched_rollout
+from gan_mpc_tpu.policies.losses import l2_imitation_loss
+from gan_mpc_tpu.runners import common
+from gan_mpc_tpu.runners.expert import load_pretrained_expert, run as run_expert
+from gan_mpc_tpu.training.cost import train_cost
+from gan_mpc_tpu.training.dynamics import train_dynamics
+from gan_mpc_tpu.training.masking import masked_adam
+from gan_mpc_tpu.utils import io
+
+
+def setup(config: Config, with_critic: bool = False):
+    """Shared L2/GAN setup. Returns a dict of live objects."""
+    key = jax.random.PRNGKey(config.seed)
+    env = common.make_env(config.env.name)
+    x_size, u_size = env.obs_size, env.act_size
+
+    trajs = common.ensure_trajectories(config)
+    normalizer = common.build_normalizer(config, trajs)
+
+    # Pretrained expert predictor (train one now if none saved yet).
+    template = common.build_expert_model(config, x_size, u_size).init_params(
+        jax.random.PRNGKey(0)
+    )
+    try:
+        expert_params = load_pretrained_expert(config, template)
+    except FileNotFoundError:
+        expert_params = run_expert(config, log_fn=None)["params"]
+
+    policy, params = common.build_policy(
+        config, x_size, u_size, with_critic=with_critic,
+        expert_params=expert_params, key=key,
+    )
+
+    states = normalizer.normalize_state(jnp.asarray(trajs.states))
+    actions = normalizer.normalize_action(jnp.asarray(trajs.actions))
+    key, k1, k2 = jax.random.split(key, 3)
+    cost_data = shuffle_and_split(
+        cost_windows(states, config.mpc.history, config.mpc.horizon), k1
+    )
+    dyn_windows = sequence_windows(states, actions, config.mpc.horizon)
+    dyn_train, _ = shuffle_and_split(dyn_windows, k2)
+
+    env_im, env_im_params = common.imitator_env(config)
+    dcfg = config.mpc.train.dynamics
+    replay = ReplayBuffer.create(
+        capacity=dcfg.replay_buffer_size,
+        seqlen=config.mpc.horizon,
+        x_size=x_size,
+        u_size=u_size,
+    )
+
+    act_fn = jax.jit(policy.act)
+    n_envs = config.get_path("runtime.num_parallel_envs", 1)
+
+    def collect_fn(params, k):
+        return batched_rollout(
+            env_im,
+            env_im_params,
+            act_fn,
+            params,
+            normalizer,
+            k,
+            num_steps=dcfg.max_interactions_per_episode,
+            history=config.mpc.history,
+            num_envs=n_envs,
+        )
+
+    return dict(
+        key=key,
+        env=env,
+        env_im=env_im,
+        env_im_params=env_im_params,
+        policy=policy,
+        params=params,
+        normalizer=normalizer,
+        cost_data=cost_data,
+        dyn_train=dyn_train,
+        replay=replay,
+        collect_fn=collect_fn,
+        act_fn=act_fn,
+    )
+
+
+def evaluate(config: Config, ctx, key) -> float:
+    ecfg = config.mpc.evaluate
+    num_runs = ecfg.num_runs_for_avg
+    if num_runs <= 0:
+        return 0.0
+    return float(
+        average_return(
+            ctx["env_im"],
+            ctx["env_im_params"],
+            ctx["act_fn"],
+            ctx["params"],
+            ctx["normalizer"],
+            key,
+            num_steps=ecfg.max_interactions,
+            history=config.mpc.history,
+            num_runs=num_runs,
+        )
+    )
+
+
+def run(config: Config, log_fn=print):
+    ctx = setup(config, with_critic=False)
+    policy, params = ctx["policy"], ctx["params"]
+    tcfg = config.mpc.train
+    ccfg, dcfg = tcfg.cost, tcfg.dynamics
+
+    cost_opt, cost_opt_state = masked_adam(
+        params, ccfg.no_grads, ccfg.learning_rate
+    )
+    dyn_opt, dyn_opt_state = masked_adam(
+        params, dcfg.no_grads, dcfg.learning_rate
+    )
+
+    key = ctx["key"]
+    replay = ctx["replay"]
+    history = {
+        "dynamics_train_losses": [],
+        "cost_train_losses": [],
+        "cost_test_losses": [],
+        "episode_returns": [],
+    }
+    for epoch in range(1, tcfg.num_epochs + 1):
+        key, k_dyn, k_cost = jax.random.split(key, 3)
+        params, dyn_opt_state, replay, ep_returns, dyn_losses = train_dynamics(
+            policy.dynamics_model,
+            dyn_opt,
+            params,
+            dyn_opt_state,
+            ctx["dyn_train"],
+            replay,
+            ctx["collect_fn"],
+            ctx["normalizer"],
+            num_episodes=dcfg.num_episodes,
+            num_updates=dcfg.num_updates,
+            batch_size=dcfg.batch_size,
+            discount_factor=dcfg.discount_factor,
+            teacher_forcing_factor=dcfg.teacher_forcing_factor,
+            key=k_dyn,
+            epoch=epoch,
+        )
+        params, cost_opt_state, cost_losses, cost_tests = train_cost(
+            policy,
+            cost_opt,
+            params,
+            cost_opt_state,
+            ctx["cost_data"][0],
+            ctx["cost_data"][1],
+            l2_imitation_loss,
+            num_updates=ccfg.num_updates,
+            batch_size=ccfg.batch_size,
+            polyak_factor=ccfg.polyak_factor,
+            key=k_cost,
+        )
+        history["dynamics_train_losses"] += dyn_losses
+        history["cost_train_losses"] += cost_losses
+        history["cost_test_losses"] += cost_tests
+        history["episode_returns"] += ep_returns
+        if log_fn is not None:
+            log_fn(
+                f"[l2] epoch {epoch} return {ep_returns[-1]:.1f} "
+                f"dyn_loss {dyn_losses[-1]:.5f} cost_loss {cost_losses[-1]:.5f}"
+            )
+
+    ctx["params"] = params
+    key, k_eval = jax.random.split(key)
+    avg_reward = evaluate(config, ctx, k_eval)
+
+    run_dir = io.new_run_dir(common.imitator_model_dir(config, "l2"))
+    io.save_params(params, os.path.join(run_dir, "params.msgpack"))
+    io.save_json(
+        {
+            "seed": config.seed,
+            "env": config.env.to_dict(),
+            "reward": round(avg_reward, 2),
+            "loss": {
+                "dynamics": {"train_loss": round(history["dynamics_train_losses"][-1], 5)},
+                "cost": {
+                    "train_loss": round(history["cost_train_losses"][-1], 5),
+                    "test_loss": round(history["cost_test_losses"][-1], 5),
+                },
+            },
+            "policy": config.mpc.to_dict(),
+        },
+        os.path.join(run_dir, "config.json"),
+    )
+    for name in (
+        "dynamics_train_losses",
+        "cost_train_losses",
+        "cost_test_losses",
+        "episode_returns",
+    ):
+        io.save_json(history[name], os.path.join(run_dir, f"{name}.json"))
+    if log_fn is not None:
+        log_fn(f"[l2] avg_reward {avg_reward:.2f} saved to {run_dir}")
+    return {
+        "params": params,
+        "run_dir": run_dir,
+        "avg_reward": avg_reward,
+        "history": history,
+    }
+
+
+if __name__ == "__main__":
+    import sys
+
+    path = sys.argv[1] if len(sys.argv) > 1 else "configs/l2_pendulum.yaml"
+    run(Config.from_yaml(path))

@@ -1,0 +1,52 @@
+"""Per-phase gradient masking.
+
+Capability parity with the reference's ``no_grads`` mechanism
+(``/root/reference/utils.py:159-166`` + ``norm/runner.py:46-58``): each
+training phase (cost / dynamics / critic) owns one optimizer over the FULL
+composite parameter dict, with every component it must not touch routed to
+``optax.set_to_zero``.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+import optax
+
+
+def masked_adam(
+    params: dict,
+    no_grads: Iterable[str],
+    learning_rate: float,
+    max_grad_norm: float = 100.0,
+):
+    """(optimizer, opt_state) updating every top-level component of
+    ``params`` except those named in ``no_grads``."""
+    frozen = set(no_grads)
+    unknown = frozen - set(params)
+    if unknown:
+        raise ValueError(f"no_grads names unknown components: {sorted(unknown)}")
+    labels = {
+        name: ("frozen" if name in frozen else "learn") for name in params
+    }
+    tx = optax.multi_transform(
+        {
+            "learn": optax.chain(
+                optax.clip_by_global_norm(max_grad_norm),
+                optax.adam(learning_rate),
+            ),
+            "frozen": optax.set_to_zero(),
+        },
+        labels,
+    )
+    return tx, tx.init(params)
+
+
+def polyak_blend(old_params, new_params, factor: float):
+    """``factor * old + (1 - factor) * new`` — the reference's post-update
+    cost-parameter averaging (``/root/reference/norm/cost_trainer.py:88-92``)."""
+    import jax
+
+    return jax.tree_util.tree_map(
+        lambda a, b: factor * a + (1.0 - factor) * b, old_params, new_params
+    )

@@ -1,0 +1,144 @@
+"""End-to-end smoke tests: expert -> L2-MPC -> GAN-MPC on pendulum with a
+tiny configuration (small nets / few steps so CI stays fast)."""
+
+import jax
+import pytest
+
+from gan_mpc_tpu.config import Config
+
+TINY_OVERRIDES = """
+seed: 0
+env:
+  name: pendulum_swingup
+  expert_episode_steps: 400
+  imitator:
+    name: pendulum_swingup
+    physics:
+      - {key: body_mass_pole, value: 1.0}
+mpc:
+  normalizer: {state: standard_norm, action: identity}
+  horizon: 3
+  history: 1
+  solver: {max_iterations: 12, grad_norm_tol: 1.0e-4, bilevel: dense}
+  model:
+    cost:
+      weights: {action: -2.0, state: 3.0, terminal: -3.0}
+      mlp: {hidden: [16], features_out: 4}
+    dynamics:
+      use: mlp
+      mlp: {hidden: [24, 24]}
+      lstm: {features: 8, hidden: [16]}
+    critic:
+      use: lstm
+      lstm: {features: 8, hidden: [16]}
+    expert: {load_id: null}
+  train:
+    num_epochs: 1
+    num_trajectories: 3
+    trajectory_len: 60
+    min_expert_reward: 1.0
+    cost:
+      num_updates: 1
+      batch_size: 8
+      learning_rate: 1.0e-5
+      polyak_factor: 0.9
+      no_grads: [dynamics_params, expert_params]
+    dynamics:
+      num_episodes: 1
+      max_interactions_per_episode: 30
+      replay_buffer_size: 500
+      num_updates: 1
+      batch_size: 8
+      learning_rate: 1.0e-5
+      discount_factor: 0.9
+      teacher_forcing_factor: 0.7
+      no_grads: [mpc_weights, cost_params, expert_params]
+    critic:
+      num_updates: 1
+      batch_size: 8
+      learning_rate: 1.0e-5
+      no_grads: [mpc_weights, cost_params, dynamics_params, expert_params]
+  evaluate: {max_interactions: 30, num_runs_for_avg: 1}
+expert_prediction:
+  model:
+    use: lstm
+    mlp: {hidden: [16]}
+    lstm: {features: 16, hidden: [16]}
+  train:
+    num_epochs: 2
+    batch_size: 16
+    seqlen: 6
+    learning_rate: 1.0e-4
+    discount_factor: 0.9
+    teacher_forcing_factor: 0.7
+  eval_runs: 1
+runtime:
+  workdir: PLACEHOLDER
+  num_parallel_envs: 1
+"""
+
+
+@pytest.fixture(scope="module")
+def tiny_config(tmp_path_factory):
+    workdir = str(tmp_path_factory.mktemp("runs"))
+    cfg = Config.from_yaml_str(TINY_OVERRIDES)
+    return cfg.replace(runtime__workdir=workdir)
+
+
+@pytest.fixture(scope="module")
+def expert_result(tiny_config):
+    from gan_mpc_tpu.runners import expert
+
+    return expert.run(tiny_config, log_fn=None)
+
+
+def test_expert_runner_trains_and_saves(expert_result, tiny_config):
+    import os
+
+    assert os.path.exists(
+        os.path.join(expert_result["run_dir"], "params.msgpack")
+    )
+    assert os.path.exists(
+        os.path.join(expert_result["run_dir"], "config.json")
+    )
+    assert expert_result["train_loss"] > 0.0
+    # training reduced the loss vs. a couple orders of magnitude sanity
+    assert expert_result["test_loss"] < 1e4
+
+
+def test_l2_runner_end_to_end(expert_result, tiny_config):
+    from gan_mpc_tpu.runners import l2
+
+    out = l2.run(tiny_config, log_fn=None)
+    assert out["avg_reward"] >= 0.0
+    h = out["history"]
+    assert len(h["cost_train_losses"]) == 1
+    assert len(h["dynamics_train_losses"]) >= 1
+    assert all(map(lambda v: v == v, h["cost_train_losses"]))  # no NaN
+    import os
+
+    assert os.path.exists(os.path.join(out["run_dir"], "params.msgpack"))
+
+
+def test_gan_runner_end_to_end(expert_result, tiny_config):
+    from gan_mpc_tpu.runners import gan
+
+    out = gan.run(tiny_config, log_fn=None)
+    h = out["history"]
+    assert len(h["critic_train_losses"]) == 1
+    assert len(h["cost_train_losses"]) == 1
+    assert all(v == v for v in h["critic_train_losses"])  # no NaN
+    assert all(v == v for v in h["cost_train_losses"])
+
+
+def test_l2_deterministic_given_seed(tiny_config, expert_result):
+    """Same seed -> identical training result (PRNG discipline)."""
+    from gan_mpc_tpu.runners import l2
+
+    a = l2.run(tiny_config, log_fn=None)
+    b = l2.run(tiny_config, log_fn=None)
+    assert a["history"]["cost_train_losses"] == b["history"]["cost_train_losses"]
+    wa = jax.tree_util.tree_leaves(a["params"]["cost_params"])
+    wb = jax.tree_util.tree_leaves(b["params"]["cost_params"])
+    for x, y in zip(wa, wb):
+        assert (x == y).all()
