@@ -1,0 +1,79 @@
+"""Throughput benchmark: batched env+planner steps/sec on one chip.
+
+The north-star metric from BASELINE.json: closed-loop MPC control — every
+env step runs a full iLQR plan (expert goal generation, dynamics-carry
+warmup, solver iterations over the horizon) followed by a physics step —
+batched over many parallel environments, entirely on device.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is value / 10_000 (the BASELINE.json target steps/sec).
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    num_envs = int(os.environ.get("BENCH_NUM_ENVS", 512))
+    num_steps = int(os.environ.get("BENCH_NUM_STEPS", 50))
+    horizon = int(os.environ.get("BENCH_HORIZON", 5))
+    max_iters = int(os.environ.get("BENCH_ILQR_ITERS", 10))
+
+    import __graft_entry__ as ge
+    from gan_mpc_tpu.data.normalizer import Normalizer
+    from gan_mpc_tpu.envs import PendulumSwingup
+    from gan_mpc_tpu.envs.rollout import batched_rollout
+
+    policy, params, x_size, u_size = ge._flagship(
+        horizon=horizon, max_iterations=max_iters
+    )
+    env = PendulumSwingup()
+    norm = Normalizer.identity(x_size, u_size)
+
+    run = jax.jit(
+        lambda params, key: batched_rollout(
+            env,
+            env.default_params(),
+            policy.act,
+            params,
+            norm,
+            key,
+            num_steps=num_steps,
+            history=1,
+            num_envs=num_envs,
+        )
+    )
+
+    key = jax.random.PRNGKey(0)
+    # compile + warmup
+    ep = run(params, key)
+    jax.block_until_ready(ep.rewards)
+
+    t0 = time.perf_counter()
+    reps = 3
+    for i in range(reps):
+        ep = run(params, jax.random.fold_in(key, i))
+        jax.block_until_ready(ep.rewards)
+    dt = (time.perf_counter() - t0) / reps
+
+    steps_per_sec = num_envs * num_steps / dt
+    print(
+        json.dumps(
+            {
+                "metric": "batched env+planner steps/sec (one chip, "
+                f"{num_envs} envs, iLQR<= {max_iters} iters, H={horizon})",
+                "value": round(steps_per_sec, 1),
+                "unit": "steps/sec",
+                "vs_baseline": round(steps_per_sec / 10_000.0, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

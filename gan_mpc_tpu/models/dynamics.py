@@ -101,6 +101,11 @@ class LearnedDynamics:
         history_x: (h, x_size), history_u: (h, u_size). Starts from a zero
         carry, returns the carry after the last transition.
         """
+        if self.carry_size == 0:
+            # Carry-free nets: skip the replay scan entirely (a scan over
+            # width-0 carries also trips an XLA CPU lowering bug when
+            # fused with the solver's cholesky custom call).
+            return self.zero_carry()
 
         def step(carry, xu):
             x, u = xu

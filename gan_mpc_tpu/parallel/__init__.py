@@ -1,0 +1,12 @@
+from gan_mpc_tpu.parallel.mesh import (  # noqa: F401
+    batch_sharding,
+    make_mesh,
+    replicate,
+    shard_batch,
+)
+from gan_mpc_tpu.parallel.sharded import (  # noqa: F401
+    make_sharded_collect,
+    make_sharded_cost_step,
+    make_sharded_critic_step,
+    make_sharded_dynamics_step,
+)

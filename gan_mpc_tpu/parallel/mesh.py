@@ -1,0 +1,49 @@
+"""Device mesh + sharding helpers.
+
+The reference is single-process single-device (SURVEY.md §2 parallelism
+table: no pmap/pjit/shard_map/psum anywhere). Scale-out here is the
+standard TPU recipe: a 1-D ``jax.sharding.Mesh`` over the data-parallel
+("dp") axis — thousands of env+planner instances sharded across chips,
+params replicated, gradient reduction via ``psum`` riding the ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    num_devices: Optional[int] = None,
+    axis_names: Sequence[str] = ("dp",),
+    shape: Optional[Sequence[int]] = None,
+) -> Mesh:
+    devices = jax.devices()
+    n = num_devices or len(devices)
+    if shape is None:
+        shape = (n,)
+    if int(np.prod(shape)) != n:
+        raise ValueError(f"mesh shape {shape} != {n} devices")
+    dev_array = np.asarray(devices[:n]).reshape(shape)
+    return Mesh(dev_array, axis_names)
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, axis: str = "dp") -> NamedSharding:
+    """Shard the leading (batch) dimension over the mesh axis."""
+    return NamedSharding(mesh, P(axis))
+
+
+def shard_batch(tree, mesh: Mesh, axis: str = "dp"):
+    """Place every array's leading dim across the mesh (pads not handled —
+    callers keep batch % num_devices == 0, standard practice)."""
+    sharding = batch_sharding(mesh, axis)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), tree
+    )

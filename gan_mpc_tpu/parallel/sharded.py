@@ -1,0 +1,166 @@
+"""shard_map training / collection steps.
+
+Each device runs its shard of env+planner instances; parameters are
+replicated; gradients and losses are ``pmean``-reduced over the mesh's
+data-parallel axis (compiled to ICI collectives on TPU). These are the
+multi-chip equivalents of the single-device trainer inner loops in
+``gan_mpc_tpu.training`` (and of the reference's vmapped single-device
+batch steps, ``/root/reference/policy/base.py:122-128``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from gan_mpc_tpu.envs.rollout import batched_rollout
+from gan_mpc_tpu.training.dynamics import multistep_prediction_loss
+
+
+def make_sharded_cost_step(
+    policy, opt, mesh: Mesh, loss_fn: Callable, axis: str = "dp"
+):
+    """One data-parallel bilevel cost/generator update.
+
+    (params, opt_state, X(batch,...), Y(batch,...)) -> (params, opt_state,
+    loss); batch must divide the mesh size.
+    """
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis)),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    def step(params, opt_state, X, Y):
+        loss, grads = policy.batched_loss_and_grad(
+            params, X, loss_fn, (Y,)
+        )
+        loss = jax.lax.pmean(loss, axis)
+        grads = jax.lax.pmean(grads, axis)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return jax.jit(step)
+
+
+def make_sharded_dynamics_step(
+    dynamics_model, opt, mesh: Mesh, gamma: float, axis: str = "dp"
+):
+    """One data-parallel multi-step dynamics update over (batch, seq, ·)."""
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis), P(axis), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    def step(params, opt_state, X, U, Y, tf):
+        def loss_fn(params):
+            losses = jax.vmap(
+                lambda x, u, y: multistep_prediction_loss(
+                    dynamics_model,
+                    params["dynamics_params"],
+                    x,
+                    u,
+                    y,
+                    gamma,
+                    tf,
+                )
+            )(X, U, Y)
+            return jnp.mean(losses)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        loss = jax.lax.pmean(loss, axis)
+        grads = jax.lax.pmean(grads, axis)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return jax.jit(step)
+
+
+def make_sharded_collect(
+    env,
+    env_params,
+    policy_fn,
+    normalizer,
+    mesh: Mesh,
+    num_steps: int,
+    history: int,
+    envs_per_device: int,
+    axis: str = "dp",
+):
+    """Batched closed-loop episode collection sharded over the mesh:
+    each device steps ``envs_per_device`` env+planner instances fully
+    on-chip. (keys shape: (num_devices * envs_per_device, 2).)"""
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    def collect(params, keys):
+        return jax.vmap(
+            lambda k: _one_episode(params, k)
+        )(keys)
+
+    def _one_episode(params, key):
+        from gan_mpc_tpu.envs.rollout import episode_rollout
+
+        return episode_rollout(
+            env,
+            env_params,
+            policy_fn,
+            params,
+            normalizer,
+            key,
+            num_steps,
+            history,
+        )
+
+    return jax.jit(collect)
+
+
+def make_sharded_critic_step(
+    policy, opt, mesh: Mesh, axis: str = "dp"
+):
+    """One data-parallel critic (discriminator) BCE update over labelled
+    (batch, seq, x) sequences."""
+    from gan_mpc_tpu.policies.losses import critic_bce_loss
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis)),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    def step(params, opt_state, seqs, labels):
+        def loss_fn(params):
+            losses = jax.vmap(
+                lambda s, l: critic_bce_loss(
+                    policy.critic_model, params["critic_params"], s, l
+                )
+            )(seqs, labels)
+            return jnp.mean(losses)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        loss = jax.lax.pmean(loss, axis)
+        grads = jax.lax.pmean(grads, axis)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return jax.jit(step)

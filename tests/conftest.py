@@ -3,12 +3,14 @@
 Tests run on CPU with 8 virtual devices so that every mesh/shard_map code
 path is exercised without TPU hardware (the standard JAX recipe for testing
 multi-device logic; see SURVEY.md §4).
+
+Note: this image pre-imports jax via sitecustomize (axon TPU plugin), so
+env vars alone are too late — we must override through jax.config before
+any backend is initialized.
 """
 
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,4 +19,5 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
