@@ -60,6 +60,47 @@ def scripted_expert(env):
     raise ValueError(f"no scripted expert for env {env.name!r}")
 
 
+# Open-loop CPG gait for cheetah_run, found by on-device evolution search
+# over the differentiable planar engine (mean forward speed ~2.4 m/s).
+# u_i(t) = tanh(amp_i sin(2 pi f t dt + phase_i) + offset_i).
+_CHEETAH_GAIT = jnp.array(
+    [3.0599, 1.6547, 2.6491, 1.3525, 2.2158, 2.275, 0.9197,
+     2.4828, 0.0499, -0.304, 2.7068, 3.477, 5.3848, 1.05,
+     0.1363, -1.0107, -0.4368, -0.5142, 0.8856]
+)
+
+
+def cheetah_gait_action(t: jax.Array, dt: float) -> jax.Array:
+    vec = _CHEETAH_GAIT
+    freq = 1.0 + 3.0 * jax.nn.sigmoid(vec[0])
+    amp, phase, offset = vec[1:7], vec[7:13], vec[13:19]
+    ph = 2.0 * jnp.pi * freq * t * dt
+    return jnp.tanh(amp * jnp.sin(ph + phase) + offset)
+
+
+def _collect_open_loop(env, env_params, num_trajectories, key, num_steps):
+    """Collection for time-indexed open-loop experts (cheetah gait)."""
+
+    def one(k):
+        s0 = env.reset(env_params, k)
+
+        def body(s, t):
+            obs = env.observe(env_params, s)
+            u = cheetah_gait_action(t, env.dt)
+            s, r = env.step(env_params, s, u)
+            return s, (obs, u, r)
+
+        _, (xs, us, rs) = jax.lax.scan(body, s0, jnp.arange(num_steps))
+        return xs, us, rs
+
+    xs, us, rs = jax.jit(
+        lambda ks: jax.vmap(one)(ks)
+    )(jax.random.split(key, num_trajectories))
+    return TrajectorySet(
+        states=np.asarray(xs), actions=np.asarray(us), rewards=np.asarray(rs)
+    )
+
+
 def collect_expert_trajectories(
     env,
     num_trajectories: int,
@@ -69,6 +110,10 @@ def collect_expert_trajectories(
 ) -> TrajectorySet:
     """Batched on-device rollout of the scripted expert."""
     env_params = env_params if env_params is not None else env.default_params()
+    if env.name == "cheetah_run":
+        return _collect_open_loop(
+            env, env_params, num_trajectories, key, num_steps
+        )
     policy = scripted_expert(env)
     norm = Normalizer.identity(env.obs_size, env.act_size)
     ep = jax.jit(
