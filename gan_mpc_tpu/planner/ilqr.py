@@ -56,6 +56,9 @@ class SolverSettings:
     reg_up: float = 10.0
     reg_down: float = 0.5
     psd_delta: float = 0.0
+    # "sequential" scan or "associative" (parallel-in-time, O(log T)
+    # depth — for long horizons; see planner/parallel_riccati.py).
+    riccati: str = "sequential"
 
 
 class ILQRSolution(struct.PyTreeNode):
@@ -220,9 +223,18 @@ def ilqr(
         X, U, obj, grad, adj, reg, it, _ = carry
         A, B = _linearize(dynamics, X, U)
         cx, cu, cxx, cuu, cux = _quadratize(cost, X, U)
-        k, K, Qu, dv1, dv2, adjoints = _backward_pass(
-            A, B, cx, cu, cxx, cuu, cux, reg, settings
-        )
+        if settings.riccati == "associative":
+            from gan_mpc_tpu.planner.parallel_riccati import (
+                parallel_backward_pass,
+            )
+
+            k, K, Qu, dv1, dv2, adjoints = parallel_backward_pass(
+                A, B, cx, cu, cxx, cuu, cux, reg, settings.psd_delta
+            )
+        else:
+            k, K, Qu, dv1, dv2, adjoints = _backward_pass(
+                A, B, cx, cu, cxx, cuu, cux, reg, settings
+            )
 
         # Parallel fixed-grid line search (static shapes, one vmap).
         Xs, Us, objs = jax.vmap(
