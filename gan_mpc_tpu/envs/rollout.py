@@ -26,6 +26,7 @@ class EpisodeData(NamedTuple):
     states: jax.Array  # (T, obs) raw (unnormalized) observations
     actions: jax.Array  # (T, act)
     rewards: jax.Array  # (T,)
+    qpos: jax.Array  # (T, nq) generalized positions (for replay/video)
 
 
 def episode_rollout(
@@ -62,13 +63,14 @@ def episode_rollout(
         hist_u = jnp.roll(hist_u, -1, axis=0).at[-1].set(
             normalizer.normalize_action(u)
         )
+        qpos = env_state.qpos
         env_state, reward = env.step(env_params, env_state, u)
-        return (env_state, hist_x, hist_u), (obs, u, reward)
+        return (env_state, hist_x, hist_u), (obs, u, reward, qpos)
 
-    _, (states, actions, rewards) = jax.lax.scan(
+    _, (states, actions, rewards, qpos) = jax.lax.scan(
         step_fn, (init_state, hist_x0, hist_u0), None, length=num_steps
     )
-    return EpisodeData(states=states, actions=actions, rewards=rewards)
+    return EpisodeData(states=states, actions=actions, rewards=rewards, qpos=qpos)
 
 
 def batched_rollout(

@@ -20,6 +20,7 @@ from gan_mpc_tpu.training.critic import train_critic
 from gan_mpc_tpu.training.dynamics import train_dynamics
 from gan_mpc_tpu.training.masking import masked_adam
 from gan_mpc_tpu.utils import io
+from gan_mpc_tpu.utils.metrics import MetricsRecorder
 
 
 def run(config: Config, log_fn=print):
@@ -41,6 +42,36 @@ def run(config: Config, log_fn=print):
     key = ctx["key"]
     replay = ctx["replay"]
     cost_train, cost_test = ctx["cost_data"]
+    metrics = MetricsRecorder(
+        os.path.join(
+            config.get_path("runtime.workdir", "runs"),
+            "metrics",
+            config.env.name,
+            "gan.jsonl",
+        )
+    )
+    ckpt = l2_runner.checkpointer_for(config, "gan")
+    start_epoch = 1
+    if ckpt is not None and ckpt.latest_step() is not None:
+        state = ckpt.restore(
+            {
+                "params": params,
+                "cost_opt_state": cost_opt_state,
+                "dyn_opt_state": dyn_opt_state,
+                "critic_opt_state": critic_opt_state,
+                "replay": replay,
+                "key": key,
+            }
+        )
+        params = state["params"]
+        cost_opt_state = state["cost_opt_state"]
+        dyn_opt_state = state["dyn_opt_state"]
+        critic_opt_state = state["critic_opt_state"]
+        replay = state["replay"]
+        key = state["key"]
+        start_epoch = ckpt.latest_step() + 1
+        if log_fn is not None:
+            log_fn(f"[gan] resumed from checkpoint at epoch {start_epoch - 1}")
     history = {
         "dynamics_train_losses": [],
         "critic_train_losses": [],
@@ -49,7 +80,7 @@ def run(config: Config, log_fn=print):
         "cost_test_losses": [],
         "episode_returns": [],
     }
-    for epoch in range(1, tcfg.num_epochs + 1):
+    for epoch in range(start_epoch, tcfg.num_epochs + 1):
         key, k_dyn, k_critic, k_cost = jax.random.split(key, 4)
         params, dyn_opt_state, replay, ep_returns, dyn_losses = train_dynamics(
             policy.dynamics_model,
@@ -100,6 +131,25 @@ def run(config: Config, log_fn=print):
         history["cost_train_losses"] += gen_losses
         history["cost_test_losses"] += gen_tests
         history["episode_returns"] += ep_returns
+        metrics.record(
+            epoch,
+            episode_return=ep_returns[-1],
+            dynamics_train_loss=dyn_losses[-1],
+            critic_train_loss=critic_losses[-1],
+            generator_train_loss=gen_losses[-1],
+        )
+        if ckpt is not None:
+            ckpt.maybe_save(
+                epoch,
+                {
+                    "params": params,
+                    "cost_opt_state": cost_opt_state,
+                    "dyn_opt_state": dyn_opt_state,
+                    "critic_opt_state": critic_opt_state,
+                    "replay": replay,
+                    "key": key,
+                },
+            )
         if log_fn is not None:
             log_fn(
                 f"[gan] epoch {epoch} return {ep_returns[-1]:.1f} "
@@ -135,6 +185,11 @@ def run(config: Config, log_fn=print):
     )
     for name, values in history.items():
         io.save_json(values, os.path.join(run_dir, f"{name}.json"))
+    key, k_video = jax.random.split(key)
+    l2_runner.maybe_save_video(config, ctx, run_dir, k_video)
+    metrics.close()
+    if ckpt is not None:
+        ckpt.close()
     if log_fn is not None:
         log_fn(f"[gan] avg_reward {avg_reward:.2f} saved to {run_dir}")
     return {

@@ -29,6 +29,8 @@ from gan_mpc_tpu.training.cost import train_cost
 from gan_mpc_tpu.training.dynamics import train_dynamics
 from gan_mpc_tpu.training.masking import masked_adam
 from gan_mpc_tpu.utils import io
+from gan_mpc_tpu.utils.checkpoint import TrainCheckpointer
+from gan_mpc_tpu.utils.metrics import MetricsRecorder
 
 
 def setup(config: Config, with_critic: bool = False):
@@ -104,6 +106,50 @@ def setup(config: Config, with_critic: bool = False):
     )
 
 
+def maybe_save_video(config: Config, ctx, run_dir: str, key) -> None:
+    """Render one evaluation episode from logged qpos (host-side,
+    post-hoc — the reference's save_video capability, utils.py:243-251)."""
+    if not config.get_path("mpc.evaluate.save_video", False):
+        return
+    import os
+
+    from gan_mpc_tpu.envs.rollout import episode_rollout
+    from gan_mpc_tpu.utils import video as video_mod
+
+    ep = jax.jit(
+        lambda params, k: episode_rollout(
+            ctx["env_im"],
+            ctx["env_im_params"],
+            ctx["act_fn"],
+            params,
+            ctx["normalizer"],
+            k,
+            num_steps=min(
+                config.get_path("mpc.evaluate.max_interactions", 1000), 300
+            ),
+            history=config.mpc.history,
+        )
+    )(ctx["params"], key)
+    frames = video_mod.render_episode(
+        ctx["env_im"].name, jax.device_get(ep.qpos)
+    )
+    video_mod.save_video(frames, os.path.join(run_dir, "video.mp4"))
+
+
+def checkpointer_for(config: Config, family: str):
+    every = config.get_path("runtime.checkpoint.every_epochs", 0)
+    if not every:
+        return None
+    import os
+
+    workdir = config.get_path("runtime.workdir", "runs")
+    return TrainCheckpointer(
+        os.path.join(workdir, "checkpoints", config.env.name, family),
+        keep=config.get_path("runtime.checkpoint.keep", 3),
+        every=every,
+    )
+
+
 def evaluate(config: Config, ctx, key) -> float:
     ecfg = config.mpc.evaluate
     num_runs = ecfg.num_runs_for_avg
@@ -145,7 +191,35 @@ def run(config: Config, log_fn=print):
         "cost_test_losses": [],
         "episode_returns": [],
     }
-    for epoch in range(1, tcfg.num_epochs + 1):
+    metrics = MetricsRecorder(
+        os.path.join(
+            config.get_path("runtime.workdir", "runs"),
+            "metrics",
+            config.env.name,
+            "l2.jsonl",
+        )
+    )
+    ckpt = checkpointer_for(config, "l2")
+    start_epoch = 1
+    if ckpt is not None and ckpt.latest_step() is not None:
+        state = ckpt.restore(
+            {
+                "params": params,
+                "cost_opt_state": cost_opt_state,
+                "dyn_opt_state": dyn_opt_state,
+                "replay": replay,
+                "key": key,
+            }
+        )
+        params = state["params"]
+        cost_opt_state = state["cost_opt_state"]
+        dyn_opt_state = state["dyn_opt_state"]
+        replay = state["replay"]
+        key = state["key"]
+        start_epoch = ckpt.latest_step() + 1
+        if log_fn is not None:
+            log_fn(f"[l2] resumed from checkpoint at epoch {start_epoch - 1}")
+    for epoch in range(start_epoch, tcfg.num_epochs + 1):
         key, k_dyn, k_cost = jax.random.split(key, 3)
         params, dyn_opt_state, replay, ep_returns, dyn_losses = train_dynamics(
             policy.dynamics_model,
@@ -181,6 +255,24 @@ def run(config: Config, log_fn=print):
         history["cost_train_losses"] += cost_losses
         history["cost_test_losses"] += cost_tests
         history["episode_returns"] += ep_returns
+        metrics.record(
+            epoch,
+            episode_return=ep_returns[-1],
+            dynamics_train_loss=dyn_losses[-1],
+            cost_train_loss=cost_losses[-1],
+            cost_test_loss=cost_tests[-1] if cost_tests else 0.0,
+        )
+        if ckpt is not None:
+            ckpt.maybe_save(
+                epoch,
+                {
+                    "params": params,
+                    "cost_opt_state": cost_opt_state,
+                    "dyn_opt_state": dyn_opt_state,
+                    "replay": replay,
+                    "key": key,
+                },
+            )
         if log_fn is not None:
             log_fn(
                 f"[l2] epoch {epoch} return {ep_returns[-1]:.1f} "
@@ -216,6 +308,11 @@ def run(config: Config, log_fn=print):
         "episode_returns",
     ):
         io.save_json(history[name], os.path.join(run_dir, f"{name}.json"))
+    key, k_video = jax.random.split(key)
+    maybe_save_video(config, ctx, run_dir, k_video)
+    metrics.close()
+    if ckpt is not None:
+        ckpt.close()
     if log_fn is not None:
         log_fn(f"[l2] avg_reward {avg_reward:.2f} saved to {run_dir}")
     return {

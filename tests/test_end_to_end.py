@@ -142,3 +142,22 @@ def test_l2_deterministic_given_seed(tiny_config, expert_result):
     wb = jax.tree_util.tree_leaves(b["params"]["cost_params"])
     for x, y in zip(wa, wb):
         assert (x == y).all()
+
+
+def test_l2_checkpoint_resume(tiny_config, expert_result, tmp_path):
+    """Epoch-level checkpointing: a second run resumes past epoch 1."""
+    from gan_mpc_tpu.runners import l2
+
+    cfg = tiny_config.replace(
+        runtime__checkpoint={"every_epochs": 1, "keep": 2},
+        mpc__train__num_epochs=1,
+    )
+    logs = []
+    l2.run(cfg, log_fn=logs.append)
+    cfg2 = cfg.replace(mpc__train__num_epochs=2)
+    logs2 = []
+    out = l2.run(cfg2, log_fn=logs2.append)
+    assert any("resumed from checkpoint at epoch 1" in m for m in logs2)
+    # only epoch 2 was trained in the second run
+    assert sum(1 for m in logs2 if m.startswith("[l2] epoch")) == 1
+    assert out["avg_reward"] >= 0.0
