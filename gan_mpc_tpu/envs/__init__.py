@@ -17,4 +17,8 @@ def make_env(name: str):
         from gan_mpc_tpu.envs.cheetah import CheetahRun
 
         return CheetahRun()
+    if name == "walker_walk":
+        from gan_mpc_tpu.envs.walker import WalkerWalk
+
+        return WalkerWalk()
     raise ValueError(f"unknown environment {name!r}")

@@ -9,4 +9,5 @@ from gan_mpc_tpu.parallel.sharded import (  # noqa: F401
     make_sharded_cost_step,
     make_sharded_critic_step,
     make_sharded_dynamics_step,
+    make_sharded_ensemble_step,
 )

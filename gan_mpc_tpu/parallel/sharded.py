@@ -164,3 +164,59 @@ def make_sharded_critic_step(
         return params, opt_state, loss
 
     return jax.jit(step)
+
+
+def ensemble_specs(tree, axis: str = "ep"):
+    """Per-leaf PartitionSpecs: member-stacked arrays shard over ``axis``,
+    scalar leaves (e.g. adam's step count) stay replicated."""
+    return jax.tree_util.tree_map(
+        lambda x: P(axis) if getattr(x, "ndim", 0) >= 1 else P(), tree
+    )
+
+
+def make_sharded_ensemble_step(
+    ensemble,
+    opt,
+    mesh: Mesh,
+    gamma: float,
+    opt_state_template,
+    axis: str = "ep",
+):
+    """One ensemble-parallel (EP) dynamics update: members shard across
+    the mesh's ``axis``; every member trains on its own bootstrapped
+    minibatch with zero cross-device communication (members independent;
+    only the returned mean loss is pmean'd for logging).
+
+    step(stacked_params, opt_state, Xm, Um, Ym, tf) with member-major
+    data (E, B, seq, ·) -> (stacked_params, opt_state, mean_loss).
+    ``opt_state_template`` fixes the per-leaf specs (scalar leaves like
+    adam's count stay replicated).
+    """
+    ostate_specs = ensemble_specs(opt_state_template, axis)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), ostate_specs, P(axis), P(axis), P(axis), P()),
+        out_specs=(P(axis), ostate_specs, P()),
+        check_vma=False,
+    )
+    def step(stacked_params, opt_state, Xm, Um, Ym, tf):
+        def member_loss(params, X, U, Y):
+            losses = jax.vmap(
+                lambda x, u, y: multistep_prediction_loss(
+                    ensemble.member, params, x, u, y, gamma, tf
+                )
+            )(X, U, Y)
+            return jnp.mean(losses)
+
+        losses, grads = jax.vmap(
+            jax.value_and_grad(member_loss), in_axes=(0, 0, 0, 0)
+        )(stacked_params, Xm, Um, Ym)
+        updates, opt_state = opt.update(grads, opt_state, stacked_params)
+        stacked_params = optax.apply_updates(stacked_params, updates)
+        return stacked_params, opt_state, jax.lax.pmean(
+            jnp.mean(losses), axis
+        )
+
+    return jax.jit(step)

@@ -57,6 +57,22 @@ def scripted_expert(env):
 
         return policy
 
+    if env.name == "walker_walk":
+
+        def policy(params, history_x, history_u):
+            del params, history_u
+            obs = history_x[-1]
+            pitch, pitchd, xd = obs[1], obs[10], obs[9]
+            joints, jointsd = obs[2:8], obs[11:17]
+            u = -3.0 * joints - 0.3 * jointsd
+            hip = 4.0 * pitch + 0.8 * pitchd
+            u = u.at[0].add(hip).at[3].add(hip)
+            ankle = -4.0 * (pitch + 0.3 * pitchd + 0.1 * xd)
+            u = u.at[2].add(ankle).at[5].add(ankle)
+            return jnp.clip(u, -1.0, 1.0)
+
+        return policy
+
     raise ValueError(f"no scripted expert for env {env.name!r}")
 
 

@@ -54,8 +54,18 @@ def build_dynamics_model(config: Config, x_size: int) -> LearnedDynamics:
             features=mcfg.lstm.features,
             hidden=tuple(mcfg.lstm.hidden),
         )
+    elif mcfg.use == "ensemble":
+        from gan_mpc_tpu.models.ensemble import EnsembleDynamics
+
+        ecfg = mcfg.ensemble
+        net = ResidualMLPDynamicsNet(
+            x_size=x_size, hidden=tuple(ecfg.mlp.hidden)
+        )
+        return EnsembleDynamics(net, num_members=ecfg.num_members)
     else:
-        raise ValueError(f"dynamics.use must be mlp|lstm, got {mcfg.use!r}")
+        raise ValueError(
+            f"dynamics.use must be mlp|lstm|ensemble, got {mcfg.use!r}"
+        )
     return LearnedDynamics(net)
 
 
@@ -96,6 +106,7 @@ def solver_settings(config: Config) -> SolverSettings:
     return SolverSettings(
         max_iterations=mpc.get_path("solver.max_iterations", 100),
         grad_norm_tol=mpc.get_path("solver.grad_norm_tol", 1e-4),
+        riccati=mpc.get_path("solver.riccati", "sequential"),
     )
 
 
