@@ -24,7 +24,12 @@ class TrajectorySet(NamedTuple):
 
 def save_trajectories(path: str, trajs: TrajectorySet) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    if path.endswith(".npz"):
+    if path.endswith(".gmts"):
+        # native binary store (C++ fast path; see data/native_store.py)
+        from gan_mpc_tpu.data import native_store
+
+        native_store.write_trajectories(path, trajs)
+    elif path.endswith(".npz"):
         np.savez_compressed(
             path,
             states=trajs.states,
@@ -55,7 +60,12 @@ def load_trajectories(
     (``data_loader.py:25-27``); here it is a parameter with the same
     default. Set ``min_reward=None``-like (-inf) to keep everything.
     """
-    if path.endswith(".npz"):
+    if path.endswith(".gmts"):
+        from gan_mpc_tpu.data import native_store
+
+        ts = native_store.read_trajectories(path)
+        states, actions, rewards = ts.states, ts.actions, ts.rewards
+    elif path.endswith(".npz"):
         data = np.load(path)
         states, actions, rewards = (
             np.asarray(data["states"], np.float32),
