@@ -171,6 +171,7 @@ def ensure_trajectories(config: Config) -> TrajectorySet:
             max(train_cfg.num_trajectories, 4),
             jax.random.PRNGKey(config.seed + 7),
             num_steps=config.get_path("env.expert_episode_steps", 1000),
+            noise_sigma=config.get_path("env.expert_noise", 0.25),
         )
         save_trajectories(path, trajs)
     return load_trajectories(
