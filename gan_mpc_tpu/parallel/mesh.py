@@ -47,3 +47,29 @@ def shard_batch(tree, mesh: Mesh, axis: str = "dp"):
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), tree
     )
+
+
+def mlp_tensor_parallel_sharding(params, mesh: Mesh, axis: str = "tp"):
+    """Tensor-parallel NamedShardings for an MLP parameter pytree: hidden
+    (last) axes of kernels and biases shard over ``axis``; everything else
+    replicates. For the model sizes of this framework TP is optional
+    (SURVEY.md §2 parallelism table: largest layer 200 units), but the
+    humanoid-scale ensemble config can enable it for its 256-wide stacks;
+    XLA inserts the (all-gather/reduce-scatter) collectives.
+    """
+    size = mesh.shape[axis]
+
+    def spec(leaf):
+        if getattr(leaf, "ndim", 0) >= 1 and leaf.shape[-1] % size == 0:
+            return NamedSharding(
+                mesh, P(*([None] * (leaf.ndim - 1) + [axis]))
+            )
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(spec, params)
+
+
+def apply_tensor_parallel(params, mesh: Mesh, axis: str = "tp"):
+    """device_put params according to ``mlp_tensor_parallel_sharding``."""
+    shardings = mlp_tensor_parallel_sharding(params, mesh, axis)
+    return jax.tree_util.tree_map(jax.device_put, params, shardings)

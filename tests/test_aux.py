@@ -96,3 +96,30 @@ def test_render_and_save_video(tmp_path):
     out = save_video(frames, str(tmp_path / "v.mp4"))
     assert os.path.exists(out)
     assert os.path.getsize(out) > 0
+
+
+def test_debug_checks_and_interfaces():
+    from gan_mpc_tpu.interfaces import CostModel, CriticModel, DynamicsModel
+    from gan_mpc_tpu.models import (
+        CostFeatureNet,
+        LearnedDynamics,
+        MPCCost,
+        ResidualMLPDynamicsNet,
+        SequenceCritic,
+    )
+    from gan_mpc_tpu.utils.debug import assert_finite, debug_checks
+
+    assert isinstance(MPCCost(CostFeatureNet(), 5), CostModel)
+    assert isinstance(
+        LearnedDynamics(ResidualMLPDynamicsNet(x_size=3)), DynamicsModel
+    )
+    assert isinstance(SequenceCritic(), CriticModel)
+
+    assert_finite({"a": jnp.ones(3)}, "ok")
+    import pytest as _pytest
+
+    with _pytest.raises(FloatingPointError):
+        assert_finite({"a": jnp.array([1.0, jnp.nan])})
+    with debug_checks():
+        assert jax.config.jax_debug_nans
+    assert not jax.config.jax_debug_nans

@@ -137,3 +137,23 @@ def test_sharded_collect_runs_on_mesh(mesh):
     ep = collect(None, shard_batch(keys, mesh))
     assert ep.states.shape == (16, 20, 3)
     assert bool(jnp.all(jnp.isfinite(ep.rewards)))
+
+
+def test_tensor_parallel_param_sharding_matches_replicated():
+    """pjit-style TP: kernels sharded on the hidden axis over an 8-way
+    'tp' mesh must produce identical results to replicated execution."""
+    from gan_mpc_tpu.parallel.mesh import apply_tensor_parallel, make_mesh
+
+    mesh = make_mesh(8, axis_names=("tp",))
+    net = ResidualMLPDynamicsNet(x_size=X, hidden=(64, 64))
+    dyn = LearnedDynamics(net)
+    params = dyn.init(KEY, U)
+    xc = jax.random.normal(KEY, (X,))
+    u = jnp.ones((U,))
+    expected = dyn(xc, u, 0, params)
+    tp_params = apply_tensor_parallel(params, mesh)
+    with jax.set_mesh(mesh):
+        got = jax.jit(lambda p: dyn(xc, u, 0, p))(tp_params)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(expected), rtol=1e-5
+    )
