@@ -24,6 +24,9 @@ from gan_mpc_tpu.utils.metrics import MetricsRecorder
 
 
 def run(config: Config, log_fn=print):
+    from gan_mpc_tpu import runtime_setup
+
+    runtime_setup.setup(config.get_path("runtime.compile_cache_dir"))
     ctx = l2_runner.setup(config, with_critic=True)
     policy, params = ctx["policy"], ctx["params"]
     tcfg = config.mpc.train

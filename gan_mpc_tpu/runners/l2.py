@@ -171,6 +171,9 @@ def evaluate(config: Config, ctx, key) -> float:
 
 
 def run(config: Config, log_fn=print):
+    from gan_mpc_tpu import runtime_setup
+
+    runtime_setup.setup(config.get_path("runtime.compile_cache_dir"))
     ctx = setup(config, with_critic=False)
     policy, params = ctx["policy"], ctx["params"]
     tcfg = config.mpc.train

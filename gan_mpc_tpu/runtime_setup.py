@@ -1,0 +1,31 @@
+"""Process-level runtime configuration.
+
+Called by the runner entry points. Currently: enables JAX's persistent
+compilation cache (first compile of the bigger jitted programs costs
+minutes on TPU; subsequent runs of the same shapes load from disk).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+_DONE = False
+
+
+def setup(cache_dir: str | None = None) -> None:
+    global _DONE
+    if _DONE:
+        return
+    _DONE = True
+    cache_dir = cache_dir or os.environ.get(
+        "GAN_MPC_TPU_COMPILE_CACHE",
+        os.path.expanduser("~/.cache/gan_mpc_tpu/xla"),
+    )
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # caching is an optimization; never fail a run over it
