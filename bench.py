@@ -23,16 +23,20 @@ def main():
     num_steps = int(os.environ.get("BENCH_NUM_STEPS", 50))
     horizon = int(os.environ.get("BENCH_HORIZON", 5))
     max_iters = int(os.environ.get("BENCH_ILQR_ITERS", 10))
+    env_name = os.environ.get("BENCH_ENV", "cheetah_run")
 
     import __graft_entry__ as ge
     from gan_mpc_tpu.data.normalizer import Normalizer
-    from gan_mpc_tpu.envs import PendulumSwingup
+    from gan_mpc_tpu.envs import make_env
     from gan_mpc_tpu.envs.rollout import batched_rollout
 
+    env = make_env(env_name)
     policy, params, x_size, u_size = ge._flagship(
-        horizon=horizon, max_iterations=max_iters
+        horizon=horizon,
+        max_iterations=max_iters,
+        x_size=env.obs_size,
+        u_size=env.act_size,
     )
-    env = PendulumSwingup()
     norm = Normalizer.identity(x_size, u_size)
 
     run = jax.jit(
@@ -66,7 +70,8 @@ def main():
         json.dumps(
             {
                 "metric": "batched env+planner steps/sec (one chip, "
-                f"{num_envs} envs, iLQR<= {max_iters} iters, H={horizon})",
+                f"{env_name}, {num_envs} envs, iLQR<= {max_iters} iters, "
+                f"H={horizon})",
                 "value": round(steps_per_sec, 1),
                 "unit": "steps/sec",
                 "vs_baseline": round(steps_per_sec / 10_000.0, 4),

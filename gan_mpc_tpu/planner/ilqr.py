@@ -146,10 +146,12 @@ def _backward_pass(A, B, cx, cu, cxx, cuu, cux, reg, settings):
         else:
             Quu_safe = Quu
         Quu_reg = Quu_safe + reg * jnp.eye(Quu.shape[0], dtype=Quu.dtype)
-        # One factorization serves both the open-loop and feedback gains.
-        chol = jax.scipy.linalg.cho_factor(Quu_reg)
-        kK = jax.scipy.linalg.cho_solve(
-            chol, jnp.concatenate([Qu[:, None], Qux], axis=1)
+        # One solve serves both the open-loop and feedback gains. (LU via
+        # jnp.linalg.solve rather than cholesky: functionally equivalent on
+        # these small SPD systems, and avoids an XLA CPU issue where the
+        # spotrf custom call goes unregistered inside large fused modules.)
+        kK = jnp.linalg.solve(
+            Quu_reg, jnp.concatenate([Qu[:, None], Qux], axis=1)
         )
         k, K = -kK[:, 0], -kK[:, 1:]
         Vx_new = Qx + K.T @ Quu @ k + K.T @ Qu + Qux.T @ k

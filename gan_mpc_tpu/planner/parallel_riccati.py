@@ -130,9 +130,8 @@ def parallel_backward_pass(A, B, cx, cu, cxx, cuu, cux, reg, psd_delta=0.0):
         Quu = cuut + Bt.T @ P1 @ Bt + reg * eye_m
         Qu = cut + Bt.T @ p1
         Qux = cuxt + Bt.T @ P1 @ At
-        chol = jax.scipy.linalg.cho_factor(Quu)
-        kK = jax.scipy.linalg.cho_solve(
-            chol, jnp.concatenate([Qu[:, None], Qux], axis=1)
+        kK = jnp.linalg.solve(
+            Quu, jnp.concatenate([Qu[:, None], Qux], axis=1)
         )
         k, K = -kK[:, 0], -kK[:, 1:]
         dv1 = jnp.dot(k, Qu)

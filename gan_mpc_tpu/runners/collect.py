@@ -147,23 +147,26 @@ def collect_expert_trajectories(
         def body(s, kk):
             obs = env.observe(env_params, s)
             u_clean = policy(None, obs[None], None)
-            u = jnp.clip(
+            u_exec = jnp.clip(
                 u_clean
                 + noise_sigma * jax.random.normal(kk, u_clean.shape),
                 -1.0,
                 1.0,
             )
-            s, r = env.step(env_params, s, u)
-            return s, (obs, u_clean, r)
+            s, r = env.step(env_params, s, u_exec)
+            return s, (obs, u_clean, u_exec, r)
 
-        _, (xs, us, rs) = jax.lax.scan(
+        _, (xs, us, ues, rs) = jax.lax.scan(
             body, s0, jax.random.split(k_noise, num_steps)
         )
-        return xs, us, rs
+        return xs, us, ues, rs
 
-    xs, us, rs = jax.jit(lambda ks: jax.vmap(one)(ks))(
+    xs, us, ues, rs = jax.jit(lambda ks: jax.vmap(one)(ks))(
         jax.random.split(key, num_trajectories)
     )
     return TrajectorySet(
-        states=np.asarray(xs), actions=np.asarray(us), rewards=np.asarray(rs)
+        states=np.asarray(xs),
+        actions=np.asarray(us),
+        rewards=np.asarray(rs),
+        executed_actions=np.asarray(ues),
     )

@@ -101,6 +101,8 @@ def run(config: Config, log_fn=print):
             teacher_forcing_factor=dcfg.teacher_forcing_factor,
             key=k_dyn,
             epoch=epoch,
+            warm_start_updates=dcfg.get_path("warm_start_updates", 3),
+            expert_updates=dcfg.get_path("expert_updates", 0),
         )
         params, critic_opt_state, critic_losses, critic_tests = train_critic(
             policy,

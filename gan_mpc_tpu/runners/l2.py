@@ -8,7 +8,6 @@ evaluation and run persistence.
 
 from __future__ import annotations
 
-import functools
 import os
 
 import jax
@@ -57,12 +56,17 @@ def setup(config: Config, with_critic: bool = False):
     )
 
     states = normalizer.normalize_state(jnp.asarray(trajs.states))
-    actions = normalizer.normalize_action(jnp.asarray(trajs.actions))
     key, k1, k2 = jax.random.split(key, 3)
     cost_data = shuffle_and_split(
         cost_windows(states, config.mpc.history, config.mpc.horizon), k1
     )
-    dyn_windows = sequence_windows(states, actions, config.mpc.horizon)
+    # dynamics learns from the EXECUTED actions (physically consistent
+    # transitions; differs from the clean expert actions when collection
+    # injected DART exploration noise)
+    dyn_actions = normalizer.normalize_action(
+        jnp.asarray(trajs.dynamics_actions)
+    )
+    dyn_windows = sequence_windows(states, dyn_actions, config.mpc.horizon)
     dyn_train, _ = shuffle_and_split(dyn_windows, k2)
 
     env_im, env_im_params = common.imitator_env(config)
@@ -240,6 +244,8 @@ def run(config: Config, log_fn=print):
             teacher_forcing_factor=dcfg.teacher_forcing_factor,
             key=k_dyn,
             epoch=epoch,
+            warm_start_updates=dcfg.get_path("warm_start_updates", 3),
+            expert_updates=dcfg.get_path("expert_updates", 0),
         )
         params, cost_opt_state, cost_losses, cost_tests = train_cost(
             policy,

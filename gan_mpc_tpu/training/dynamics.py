@@ -121,6 +121,8 @@ def train_dynamics(
     teacher_forcing_factor: float,
     key: jax.Array,
     epoch: int,
+    warm_start_updates: int = 3,
+    expert_updates: int = 0,
 ):
     """One epoch of on-policy dynamics training.
 
@@ -131,7 +133,7 @@ def train_dynamics(
     Returns (params, opt_state, replay_buffer, episode_returns, losses).
     """
     losses = []
-    if epoch == 1:
+    if epoch == 1 and warm_start_updates > 0:
         key, sub = jax.random.split(key)
         params, opt_state, warm = _run_updates(
             dynamics_model,
@@ -139,13 +141,32 @@ def train_dynamics(
             params,
             opt_state,
             expert_dataset,
-            num_updates=3,
+            num_updates=warm_start_updates,
             batch_size=batch_size,
             gamma=discount_factor,
             teacher_forcing_factor=1.0,
             key=sub,
         )
         losses.extend(warm)
+    if expert_updates > 0:
+        # keep refreshing on the expert distribution every epoch — pure
+        # on-policy data collapses the model onto wherever the (initially
+        # poor) policy visits, which starves the planner of control
+        # sensitivity in the regions that matter
+        key, sub = jax.random.split(key)
+        params, opt_state, extra = _run_updates(
+            dynamics_model,
+            optimizer,
+            params,
+            opt_state,
+            expert_dataset,
+            num_updates=expert_updates,
+            batch_size=batch_size,
+            gamma=discount_factor,
+            teacher_forcing_factor=1.0,
+            key=sub,
+        )
+        losses.extend(extra)
 
     episode_returns = []
     for ep in range(num_episodes):

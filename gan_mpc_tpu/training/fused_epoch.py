@@ -1,0 +1,228 @@
+"""One GAN-MPC training epoch as a SINGLE jitted XLA program.
+
+The north-star design goal (SURVEY.md §7, BASELINE.json): the entire
+plan-act-learn loop on device with no host round trips. The modular
+trainers (``training/*.py``) already jit each scanned segment; this module
+goes the rest of the way — one ``jax.jit`` whose body is:
+
+    1. on-policy collection: N parallel envs x (iLQR plan -> physics step)
+       inside a ``lax.scan``;
+    2. window the episodes and push them into the device ring replay;
+    3. scanned dynamics updates from replay samples;
+    4. critic dataset built by batched planning on expert histories,
+       scanned BCE updates;
+    5. scanned bilevel cost/generator updates through the planner's
+       implicit VJP, with the Polyak blend.
+
+Expert windows are closed over as device constants. The only host work
+per epoch is reading back the scalar losses.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from gan_mpc_tpu.data.buffers import ReplayBuffer
+from gan_mpc_tpu.data.windows import minibatch_indices
+from gan_mpc_tpu.envs.rollout import batched_rollout
+from gan_mpc_tpu.policies.losses import critic_bce_loss, gan_generator_loss
+from gan_mpc_tpu.training.dynamics import multistep_prediction_loss
+from gan_mpc_tpu.training.masking import polyak_blend
+
+
+class FusedEpochMetrics(NamedTuple):
+    episode_return: jax.Array
+    dynamics_loss: jax.Array
+    critic_loss: jax.Array
+    generator_loss: jax.Array
+
+
+def make_fused_gan_epoch(
+    policy,
+    env,
+    env_params,
+    normalizer,
+    optimizers: dict,  # {"dynamics": tx, "critic": tx, "cost": tx}
+    expert_history_X,  # (N, history+1, x) normalized expert histories
+    expert_future_Y,  # (N, horizon+1, x) normalized expert futures
+    *,
+    num_envs: int,
+    episode_steps: int,
+    history: int,
+    dynamics_updates: int,
+    critic_updates: int,
+    cost_updates: int,
+    batch_size: int,
+    gamma: float,
+    polyak_factor: float,
+    critic_plan_batch: int = 64,
+):
+    """Build the fused epoch. Returns
+    ``epoch(params, opt_states, replay, key, teacher_forcing) ->
+    (params, opt_states, replay, FusedEpochMetrics)``.
+    """
+
+    exp_X = jnp.asarray(expert_history_X)
+    exp_Y = jnp.asarray(expert_future_Y)
+    steps_per_update = max(exp_X.shape[0] // batch_size, 1)
+
+    def _scan_updates(params, opt, opt_state, loss_of_batch, perm):
+        def body(carry, p):
+            params, opt_state = carry
+            loss, grads = jax.value_and_grad(loss_of_batch)(params, p)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), perm
+        )
+        return params, opt_state, jnp.mean(losses)
+
+    @jax.jit
+    def epoch(params, opt_states, replay: ReplayBuffer, key, teacher_forcing):
+        k_collect, k_dyn, k_crit, k_cost, k_shuffle = jax.random.split(key, 5)
+
+        # ---- 1. on-policy collection (batched, fully on device) -------
+        episode = batched_rollout(
+            env,
+            env_params,
+            policy.act,
+            params,
+            normalizer,
+            k_collect,
+            num_steps=episode_steps,
+            history=history,
+            num_envs=num_envs,
+        )
+        ep_return = jnp.mean(jnp.sum(episode.rewards, axis=-1))
+
+        # ---- 2. window + device replay insert -------------------------
+        replay = replay.add_trajectories(
+            normalizer.normalize_state(episode.states),
+            normalizer.normalize_action(episode.actions),
+        )
+
+        # ---- 3. dynamics updates from replay ---------------------------
+        def dyn_batch_loss(params, idx):
+            X, U, Y = (
+                replay.states[idx],
+                replay.actions[idx],
+                replay.next_states[idx],
+            )
+            losses = jax.vmap(
+                lambda x, u, y: multistep_prediction_loss(
+                    policy.dynamics_model,
+                    params["dynamics_params"],
+                    x,
+                    u,
+                    y,
+                    gamma,
+                    teacher_forcing,
+                )
+            )(X, U, Y)
+            return jnp.mean(losses)
+
+        dyn_perm = jax.random.randint(
+            k_dyn,
+            (dynamics_updates * steps_per_update, batch_size),
+            0,
+            jnp.maximum(replay.size, 1),
+        )
+        params, dyn_state, dyn_loss = _scan_updates(
+            params,
+            optimizers["dynamics"],
+            opt_states["dynamics"],
+            dyn_batch_loss,
+            dyn_perm,
+        )
+
+        # ---- 4. critic: plan on a subset of expert histories -----------
+        plan_idx = jax.random.choice(
+            k_crit, exp_X.shape[0], shape=(critic_plan_batch,), replace=False
+        )
+
+        def predict(history_x):
+            zeros_u = jnp.zeros(
+                (history_x.shape[0] - 1, policy.expert_model.u_size),
+                jnp.float32,
+            )
+            sol = policy.plan(
+                params, history_x, zeros_u, warm_start_carry=False
+            )
+            return policy.planned_states(sol)
+
+        fake_Y = jax.vmap(predict)(exp_X[plan_idx])
+        seqs = jnp.concatenate([exp_Y[plan_idx], fake_Y], axis=0)
+        labels = jnp.concatenate(
+            [
+                jnp.ones((critic_plan_batch,), jnp.float32),
+                -jnp.ones((critic_plan_batch,), jnp.float32),
+            ]
+        )
+        shuffle = jax.random.permutation(k_shuffle, 2 * critic_plan_batch)
+        seqs, labels = seqs[shuffle], labels[shuffle]
+
+        def critic_batch_loss(params, idx):
+            losses = jax.vmap(
+                lambda s, l: critic_bce_loss(
+                    policy.critic_model, params["critic_params"], s, l
+                )
+            )(seqs[idx], labels[idx])
+            return jnp.mean(losses)
+
+        crit_perm = jax.random.randint(
+            k_crit,
+            (critic_updates, batch_size),
+            0,
+            2 * critic_plan_batch,
+        )
+        params, crit_state, crit_loss = _scan_updates(
+            params,
+            optimizers["critic"],
+            opt_states["critic"],
+            critic_batch_loss,
+            crit_perm,
+        )
+
+        # ---- 5. bilevel generator updates ------------------------------
+        prev_params = params
+
+        def gen_update(carry, idx):
+            params, opt_state = carry
+            loss, grads = policy.batched_loss_and_grad(
+                params, exp_X[idx], gan_generator_loss, ()
+            )
+            updates, opt_state = optimizers["cost"].update(
+                grads, opt_state, params
+            )
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        cost_perm = minibatch_indices(
+            k_cost, exp_X.shape[0], cost_updates, batch_size
+        )
+        (params, cost_state), gen_losses = jax.lax.scan(
+            gen_update, (params, opt_states["cost"]), cost_perm
+        )
+        params = polyak_blend(prev_params, params, polyak_factor)
+
+        opt_states = {
+            "dynamics": dyn_state,
+            "critic": crit_state,
+            "cost": cost_state,
+        }
+        metrics = FusedEpochMetrics(
+            episode_return=ep_return,
+            dynamics_loss=dyn_loss,
+            critic_loss=crit_loss,
+            generator_loss=jnp.mean(gen_losses),
+        )
+        return params, opt_states, replay, metrics
+
+    return epoch

@@ -1,0 +1,100 @@
+"""The fused single-program GAN-MPC epoch must run NaN-free and update
+every trainable component, with the whole epoch inside one jit."""
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from gan_mpc_tpu.data.buffers import ReplayBuffer
+from gan_mpc_tpu.data.normalizer import Normalizer
+from gan_mpc_tpu.envs import PendulumSwingup
+from gan_mpc_tpu.models import (
+    CostFeatureNet,
+    ExpertPredictor,
+    LearnedDynamics,
+    MPCCost,
+    ResidualMLPDynamicsNet,
+    SequenceCritic,
+)
+from gan_mpc_tpu.planner import SolverSettings
+from gan_mpc_tpu.policies import MPCPolicy
+from gan_mpc_tpu.training.fused_epoch import make_fused_gan_epoch
+from gan_mpc_tpu.training.masking import masked_adam
+
+KEY = jax.random.PRNGKey(0)
+H = 3
+
+
+def test_fused_gan_epoch_runs_and_learns():
+    env = PendulumSwingup()
+    x, u = env.obs_size, env.act_size
+    policy = MPCPolicy(
+        cost_model=MPCCost(CostFeatureNet(hidden=(8,), features_out=2), H),
+        dynamics_model=LearnedDynamics(
+            ResidualMLPDynamicsNet(x_size=x, hidden=(16,))
+        ),
+        expert_model=ExpertPredictor(
+            x_size=x, u_size=u, arch="mlp", features=0, hidden=(8,)
+        ),
+        critic_model=SequenceCritic(features=8, hidden=(8,)),
+        horizon=H,
+        settings=SolverSettings(max_iterations=3),
+    )
+    params = policy.init(KEY, (-2.0, 3.0, -3.0), u, critic_x_size=x)
+    norm = Normalizer.identity(x, u)
+    replay = ReplayBuffer.create(64, H, x, u)
+
+    opts = {
+        "dynamics": masked_adam(
+            params,
+            ["mpc_weights", "cost_params", "critic_params", "expert_params"],
+            1e-3,
+        )[0],
+        "critic": masked_adam(
+            params,
+            ["mpc_weights", "cost_params", "dynamics_params", "expert_params"],
+            1e-3,
+        )[0],
+        "cost": masked_adam(
+            params,
+            ["dynamics_params", "critic_params", "expert_params"],
+            1e-4,
+        )[0],
+    }
+    opt_states = {k: opt.init(params) for k, opt in opts.items()}
+
+    n_windows = 16
+    exp_X = 0.1 * jax.random.normal(KEY, (n_windows, 2, x))
+    exp_Y = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (n_windows, H + 1, x))
+
+    epoch = make_fused_gan_epoch(
+        policy, env, env.default_params(), norm, opts, exp_X, exp_Y,
+        num_envs=2, episode_steps=6, history=1,
+        dynamics_updates=1, critic_updates=1, cost_updates=1,
+        batch_size=4, gamma=0.9, polyak_factor=0.9, critic_plan_batch=4,
+    )
+    p0 = params
+    params, opt_states, replay, m = epoch(
+        params, opt_states, replay, KEY, jnp.asarray(True)
+    )
+    for v in m:
+        assert bool(jnp.isfinite(v)), m
+    assert int(replay.size) > 0
+    # dynamics and critic moved; cost moved (after polyak, 10% of step)
+    for comp in ("dynamics_params", "critic_params", "cost_params"):
+        moved = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.abs(a - b).max()), p0[comp], params[comp]
+        )
+        assert max(jax.tree_util.tree_leaves(moved)) > 0.0, comp
+    # expert params frozen everywhere
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()),
+        p0["expert_params"],
+        params["expert_params"],
+    )
+    assert max(jax.tree_util.tree_leaves(moved)) == 0.0
+    # second epoch reuses the compiled program (no retrace errors)
+    params, opt_states, replay, m2 = epoch(
+        params, opt_states, replay, jax.random.PRNGKey(2), jnp.asarray(False)
+    )
+    assert bool(jnp.isfinite(m2.generator_loss))
