@@ -38,6 +38,7 @@ def episode_rollout(
     key: jax.Array,
     num_steps: int,
     history: int,
+    action_noise: float = 0.0,
 ) -> EpisodeData:
     """Run one closed-loop episode entirely inside jit.
 
@@ -45,21 +46,34 @@ def episode_rollout(
     history_x is (history + 1, obs) NORMALIZED states (most recent last)
     and history_u is (history, act) — the contract of the reference's
     ``EvalMPC.get_optimal_action`` (``/root/reference/policy/eval.py:126``).
+
+    ``action_noise`` adds clipped Gaussian exploration noise to the
+    EXECUTED action (recorded as such). Use for on-policy dynamics-data
+    collection: without it the policy's actions are a deterministic
+    function of state, so the transitions carry no identifiable control
+    signal and the dynamics model unlearns its action channel.
     """
 
     obs_size, act_size = env.obs_size, env.act_size
-    init_state = env.reset(env_params, key)
+    k_reset, k_noise = jax.random.split(key)
+    init_state = env.reset(env_params, k_reset)
 
     hist_x0 = jnp.zeros((history + 1, obs_size), dtype=jnp.float32)
     hist_u0 = jnp.zeros((history, act_size), dtype=jnp.float32)
 
-    def step_fn(carry, _):
+    def step_fn(carry, k_step):
         env_state, hist_x, hist_u = carry
         obs = env.observe(env_params, env_state)
         xn = normalizer.normalize_state(obs)
         hist_x = jnp.roll(hist_x, -1, axis=0).at[-1].set(xn)
         u = policy_fn(policy_params, hist_x, hist_u)
         u = jnp.asarray(u, dtype=jnp.float32)
+        if action_noise > 0.0:
+            u = jnp.clip(
+                u + action_noise * jax.random.normal(k_step, u.shape),
+                -1.0,
+                1.0,
+            )
         hist_u = jnp.roll(hist_u, -1, axis=0).at[-1].set(
             normalizer.normalize_action(u)
         )
@@ -68,7 +82,9 @@ def episode_rollout(
         return (env_state, hist_x, hist_u), (obs, u, reward, qpos)
 
     _, (states, actions, rewards, qpos) = jax.lax.scan(
-        step_fn, (init_state, hist_x0, hist_u0), None, length=num_steps
+        step_fn,
+        (init_state, hist_x0, hist_u0),
+        jax.random.split(k_noise, num_steps),
     )
     return EpisodeData(states=states, actions=actions, rewards=rewards, qpos=qpos)
 
@@ -83,6 +99,7 @@ def batched_rollout(
     num_steps: int,
     history: int,
     num_envs: int,
+    action_noise: float = 0.0,
 ) -> EpisodeData:
     """vmap N independent episodes (shared params, different reset keys)."""
     keys = jax.random.split(key, num_envs)
@@ -96,6 +113,7 @@ def batched_rollout(
             k,
             num_steps,
             history,
+            action_noise,
         )
     )(keys)
 

@@ -92,6 +92,7 @@ def setup(config: Config, with_critic: bool = False):
             num_steps=dcfg.max_interactions_per_episode,
             history=config.mpc.history,
             num_envs=n_envs,
+            action_noise=dcfg.get_path("collection_noise", 0.0),
         )
 
     return dict(
