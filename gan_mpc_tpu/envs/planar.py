@@ -112,11 +112,16 @@ def potential_energy(model: PlanarModel, q: jnp.ndarray) -> jnp.ndarray:
 
 
 def bias_forces(model: PlanarModel, q, qd) -> jnp.ndarray:
-    """Coriolis/centrifugal + gravity: h(q, qd)."""
-    Mqd = jax.jacfwd(lambda q_: mass_matrix(model, q_) @ qd)(q)
+    """Coriolis/centrifugal + gravity: h(q, qd) = Mdot qd - 1/2 d(qd^T M
+    qd)/dq + dV/dq.
+
+    Mdot = sum_k dM/dq_k qd_k is a directional derivative along qd — ONE
+    jvp of the mass matrix, not a full (nq, nq, nq) Jacobian (the
+    difference is the hot-path cost of the whole engine)."""
+    _, Mdot = jax.jvp(lambda q_: mass_matrix(model, q_), (q,), (qd,))
     quad = jax.grad(lambda q_: 0.5 * qd @ mass_matrix(model, q_) @ qd)(q)
     grav = jax.grad(lambda q_: potential_energy(model, q_))(q)
-    return Mqd @ qd - quad + grav
+    return Mdot @ qd - quad + grav
 
 
 def joint_forces(model: PlanarModel, q, qd) -> jnp.ndarray:

@@ -62,6 +62,29 @@ class MPCCost:
         net_params = self.net.init(key, jnp.zeros((xc_size,)))
         return net_params
 
+    def stage(
+        self,
+        xc: jax.Array,
+        u: jax.Array,
+        t: jax.Array,
+        raw_weights: jax.Array,
+        goal_X: jax.Array,
+    ) -> jax.Array:
+        """Running cost for t < horizon (no neural net involved)."""
+        w = jax.nn.sigmoid(raw_weights)
+        x_size = goal_X.shape[-1]
+        goal = goal_X[t]
+        return w[0] * smoothed_norm(u) + w[1] * smoothed_norm(
+            xc[:x_size] - goal
+        )
+
+    def terminal(
+        self, xc: jax.Array, net_params, raw_weights: jax.Array
+    ) -> jax.Array:
+        """Terminal cost: sigmoid(w_term) * <f(x), f(x)>."""
+        w = jax.nn.sigmoid(raw_weights)
+        return w[2] * self.net.apply(net_params, xc)
+
     def __call__(
         self,
         xc: jax.Array,
@@ -71,12 +94,11 @@ class MPCCost:
         raw_weights: jax.Array,
         goal_X: jax.Array,
     ) -> jax.Array:
-        """Planner cost at step t (t == horizon selects the terminal cost)."""
-        w = jax.nn.sigmoid(raw_weights)
-        x_size = goal_X.shape[-1]
-        goal = goal_X[t]
-        stage = w[0] * smoothed_norm(u) + w[1] * smoothed_norm(
-            xc[:x_size] - goal
+        """Combined planner cost (t == horizon selects the terminal) —
+        kept for the trajax-style single-function interface; the policy
+        uses the split stage/terminal form for speed."""
+        return jnp.where(
+            t == self.horizon,
+            self.terminal(xc, net_params, raw_weights),
+            self.stage(xc, u, t, raw_weights, goal_X),
         )
-        terminal = w[2] * self.net.apply(net_params, xc)
-        return jnp.where(t == self.horizon, terminal, stage)

@@ -44,7 +44,6 @@ from gan_mpc_tpu.planner.ilqr import (
     SolverSettings,
     ilqr,
     rollout,
-    total_cost,
 )
 
 
@@ -65,6 +64,7 @@ def make_implicit_planner(
     dynamics: Callable,
     settings: SolverSettings = SolverSettings(),
     *,
+    terminal_cost: Callable = None,
     solver: str = "dense",
     ridge: float = 1e-5,
     cg_iters: int = 64,
@@ -72,8 +72,12 @@ def make_implicit_planner(
     """Build a differentiable planner.
 
     Args:
-      cost: ``cost(x, u, t, theta, *cost_args) -> scalar``.
+      cost: ``cost(x, u, t, theta, *cost_args) -> scalar`` (every step, or
+        stage-only when ``terminal_cost`` is given).
       dynamics: ``dynamics(x, u, t, theta, *dynamics_args) -> next_x``.
+      terminal_cost: optional ``terminal_cost(x, theta, *cost_args)`` —
+        splitting the terminal out avoids evaluating it (usually a neural
+        net) at every step of every rollout under AD.
       settings: static iLQR settings.
       solver: ``"dense"`` (materialize the (T*m)^2 Hessian, exact solve) or
         ``"cg"`` (matrix-free HVP conjugate gradient, for long horizons).
@@ -92,16 +96,27 @@ def make_implicit_planner(
     if solver not in ("dense", "cg"):
         raise ValueError(f"unknown bilevel solver {solver!r}")
 
-    def _objective(U, theta, x0, cost_args, dynamics_args):
+    from gan_mpc_tpu.planner.ilqr import _make_total_fn
+
+    def _bind(theta, cost_args):
         c = lambda x, u, t: cost(x, u, t, theta, *cost_args)
+        tc = (
+            None
+            if terminal_cost is None
+            else (lambda x: terminal_cost(x, theta, *cost_args))
+        )
+        return c, tc
+
+    def _objective(U, theta, x0, cost_args, dynamics_args):
+        c, tc = _bind(theta, cost_args)
         d = lambda x, u, t: dynamics(x, u, t, theta, *dynamics_args)
-        return total_cost(c, rollout(d, U, x0), U)
+        return _make_total_fn(c, tc)(rollout(d, U, x0), U)
 
     @jax.custom_vjp
     def plan(theta, x0, U0, cost_args, dynamics_args) -> ILQRSolution:
-        c = lambda x, u, t: cost(x, u, t, theta, *cost_args)
+        c, tc = _bind(theta, cost_args)
         d = lambda x, u, t: dynamics(x, u, t, theta, *dynamics_args)
-        return ilqr(c, d, x0, U0, settings)
+        return ilqr(c, d, x0, U0, settings, tc)
 
     def fwd(theta, x0, U0, cost_args, dynamics_args):
         sol = plan(theta, x0, U0, cost_args, dynamics_args)

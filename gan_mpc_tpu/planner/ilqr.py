@@ -97,6 +97,22 @@ def total_cost(cost: Callable, X: jax.Array, U: jax.Array) -> jax.Array:
     return jnp.sum(jax.vmap(cost)(X, _padded(U), ts))
 
 
+def _make_total_fn(cost, terminal_cost):
+    """Objective evaluator. With a separate ``terminal_cost`` the stage
+    cost is only evaluated for t < T and the terminal only once — vs the
+    combined ``jnp.where(t == T, ...)`` form, which evaluates BOTH
+    branches (e.g. the terminal cost NN) at every step under jit/AD."""
+    if terminal_cost is None:
+        return lambda X, U: total_cost(cost, X, U)
+
+    def total(X, U):
+        ts = jnp.arange(U.shape[0])
+        stage = jnp.sum(jax.vmap(cost)(X[:-1], U, ts))
+        return stage + terminal_cost(X[-1])
+
+    return total
+
+
 def _linearize(dynamics, X, U):
     ts = jnp.arange(U.shape[0])
     jac = jax.vmap(jax.jacfwd(dynamics, argnums=(0, 1)))
@@ -117,6 +133,37 @@ def _quadratize(cost, X, U):
         return cxx, cuu, cux
 
     cxx, cuu, cux = jax.vmap(hess)(X, Up, ts)
+    return cx, cu, cxx, cuu, cux
+
+
+def _quadratize_split(cost, terminal_cost, X, U):
+    """Quadratize with separate stage / terminal costs: stage derivatives
+    vmapped over t < T, terminal (the expensive learned-cost net) exactly
+    once."""
+    T = U.shape[0]
+    ts = jnp.arange(T)
+    grads = jax.vmap(jax.grad(cost, argnums=(0, 1)))
+    cx_s, cu_s = grads(X[:-1], U, ts)
+
+    def hess(x, u, t):
+        cxx = jax.hessian(cost, argnums=0)(x, u, t)
+        cuu = jax.hessian(cost, argnums=1)(x, u, t)
+        cux = jax.jacfwd(jax.grad(cost, argnums=1), argnums=0)(x, u, t)
+        return cxx, cuu, cux
+
+    cxx_s, cuu_s, cux_s = jax.vmap(hess)(X[:-1], U, ts)
+    cx_T = jax.grad(terminal_cost)(X[-1])
+    cxx_T = jax.hessian(terminal_cost)(X[-1])
+    m = U.shape[-1]
+    cx = jnp.concatenate([cx_s, cx_T[None]], axis=0)
+    cu = jnp.concatenate([cu_s, jnp.zeros((1, m), cu_s.dtype)], axis=0)
+    cxx = jnp.concatenate([cxx_s, cxx_T[None]], axis=0)
+    cuu = jnp.concatenate(
+        [cuu_s, jnp.zeros((1, m, m), cuu_s.dtype)], axis=0
+    )
+    cux = jnp.concatenate(
+        [cux_s, jnp.zeros((1, m, cx_s.shape[-1]), cux_s.dtype)], axis=0
+    )
     return cx, cu, cxx, cuu, cux
 
 
@@ -169,7 +216,7 @@ def _backward_pass(A, B, cx, cu, cxx, cuu, cux, reg, settings):
     return k, K, Qu, dv1, dv2, adjoints
 
 
-def _forward_pass(dynamics, cost, X, U, k, K, alpha):
+def _forward_pass(dynamics, total_fn, X, U, k, K, alpha):
     """Closed-loop rollout with step size alpha. Returns (Xnew, Unew, obj)."""
 
     ts = jnp.arange(U.shape[0])
@@ -182,39 +229,47 @@ def _forward_pass(dynamics, cost, X, U, k, K, alpha):
 
     _, (tail, Unew) = jax.lax.scan(step, X[0], (X[:-1], U, k, K, ts))
     Xnew = jnp.concatenate([X[0][None], tail], axis=0)
-    return Xnew, Unew, total_cost(cost, Xnew, Unew)
+    return Xnew, Unew, total_fn(Xnew, Unew)
 
 
-def _objective_grad(cost, dynamics, U, x0):
+def _objective_grad(total_fn, dynamics, U, x0):
     def f(U_):
-        return total_cost(cost, rollout(dynamics, U_, x0), U_)
+        return total_fn(rollout(dynamics, U_, x0), U_)
 
     return jax.grad(f)(U)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 4))
+@functools.partial(jax.jit, static_argnums=(0, 1, 4, 5))
 def ilqr(
     cost: Callable,
     dynamics: Callable,
     x0: jax.Array,
     U0: jax.Array,
     settings: SolverSettings = SolverSettings(),
+    terminal_cost: Callable = None,
 ) -> ILQRSolution:
     """Iterative LQR solve. Matches the reference planner contract
     (X, U, obj, grad, adjoints, iterations) of
-    ``/root/reference/policy/optimizers.py:55-57`` as a typed struct."""
+    ``/root/reference/policy/optimizers.py:55-57`` as a typed struct.
+
+    ``cost(x, u, t)`` covers every step when ``terminal_cost`` is None
+    (t == T selects the terminal, trajax-style). With ``terminal_cost(x)``
+    given, ``cost`` is the STAGE cost only (t < T) — substantially cheaper
+    when the terminal involves a neural net, since the combined form
+    evaluates both branches of its jnp.where at every step under AD."""
 
     x0 = x0.astype(jnp.float32)
     U0 = U0.astype(jnp.float32)
     T, m = U0.shape
+    total_fn = _make_total_fn(cost, terminal_cost)
 
     alphas = settings.alpha_0 * (
         settings.alpha_decay ** jnp.arange(settings.num_alphas, dtype=jnp.float32)
     )
 
     X0 = rollout(dynamics, U0, x0)
-    obj0 = total_cost(cost, X0, U0)
-    grad0 = _objective_grad(cost, dynamics, U0, x0)
+    obj0 = total_fn(X0, U0)
+    grad0 = _objective_grad(total_fn, dynamics, U0, x0)
     adj0 = jnp.zeros_like(X0)
 
     def cond(carry):
@@ -224,7 +279,12 @@ def ilqr(
     def body(carry):
         X, U, obj, grad, adj, reg, it, _ = carry
         A, B = _linearize(dynamics, X, U)
-        cx, cu, cxx, cuu, cux = _quadratize(cost, X, U)
+        if terminal_cost is None:
+            cx, cu, cxx, cuu, cux = _quadratize(cost, X, U)
+        else:
+            cx, cu, cxx, cuu, cux = _quadratize_split(
+                cost, terminal_cost, X, U
+            )
         if settings.riccati == "associative":
             from gan_mpc_tpu.planner.parallel_riccati import (
                 parallel_backward_pass,
@@ -240,7 +300,7 @@ def ilqr(
 
         # Parallel fixed-grid line search (static shapes, one vmap).
         Xs, Us, objs = jax.vmap(
-            lambda a: _forward_pass(dynamics, cost, X, U, k, K, a)
+            lambda a: _forward_pass(dynamics, total_fn, X, U, k, K, a)
         )(alphas)
         objs = jnp.where(jnp.isfinite(objs), objs, jnp.inf)
         best = jnp.argmin(objs)
@@ -258,7 +318,7 @@ def ilqr(
         adjn = jnp.where(improved, adjoints, adj)
 
         gradn = jnp.where(
-            improved, _objective_grad(cost, dynamics, Un, x0), grad
+            improved, _objective_grad(total_fn, dynamics, Un, x0), grad
         )
         grad_small = jnp.linalg.norm(gradn) < settings.grad_norm_tol
         stalled = jnp.logical_and(~improved, reg >= settings.reg_max)

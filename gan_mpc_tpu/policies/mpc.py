@@ -52,18 +52,28 @@ class MPCPolicy:
         self.horizon = horizon
         self.x_size = dynamics_model.x_size
 
-        def planner_cost(xc, u, t, theta, goal_X):
-            return cost_model(
-                xc, u, t, theta["cost_params"], theta["mpc_weights"], goal_X
+        # Stage and terminal costs split so the terminal net is evaluated
+        # once per rollout, not at every step (the combined jnp.where form
+        # pays both branches under AD).
+        def planner_stage_cost(xc, u, t, theta, goal_X):
+            return cost_model.stage(
+                xc, u, t, theta["mpc_weights"], goal_X
+            )
+
+        def planner_terminal_cost(xc, theta, goal_X):
+            del goal_X
+            return cost_model.terminal(
+                xc, theta["cost_params"], theta["mpc_weights"]
             )
 
         def planner_dynamics(xc, u, t, theta):
             return dynamics_model(xc, u, t, theta["dynamics_params"])
 
         self._plan = make_implicit_planner(
-            planner_cost,
+            planner_stage_cost,
             planner_dynamics,
             settings,
+            terminal_cost=planner_terminal_cost,
             solver=bilevel_solver,
             ridge=bilevel_ridge,
         )
