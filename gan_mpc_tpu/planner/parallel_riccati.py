@@ -76,7 +76,13 @@ def parallel_backward_pass(A, B, cx, cu, cxx, cuu, cux, reg, psd_delta=0.0):
     n, m = B.shape[1], B.shape[2]
     eye_m = jnp.eye(m, dtype=A.dtype)
 
-    U = cuu[:T] + reg * eye_m  # (T, m, m) regularized control cost
+    # Elements use a FIXED tiny ridge (U must be invertible); the
+    # LM regularizer `reg` applies only to the pointwise gain recovery
+    # below — matching the sequential pass, which regularizes the gain
+    # solve but propagates the unregularized value function. Folding a
+    # large reg into the elements distorts the value function globally
+    # and stalls convergence when the line search drives reg up.
+    U = cuu[:T] + 1e-6 * eye_m  # (T, m, m) control cost for the elements
     S = cux[:T]  # (T, m, n)
     q = cx[:T]
     r = cu[:T]
@@ -88,6 +94,18 @@ def parallel_backward_pass(A, B, cx, cu, cxx, cuu, cux, reg, psd_delta=0.0):
     F_t = A - jnp.einsum("tnm,tmk->tnk", B, Uinv_S)
     X_t = X - jnp.einsum("tmn,tmk->tnk", S, Uinv_S)
     X_t = (X_t + jnp.swapaxes(X_t, 1, 2)) / 2.0
+    # PSD-project the stage state costs: with indefinite curvature (any
+    # nonconvex cost) the exact unregularized value recursion can diverge
+    # over long horizons; the sequential pass sidesteps this by
+    # propagating V with its regularized gains. Clamping eigenvalues >= 0
+    # is the standard make-psd treatment and keeps the semigroup elements
+    # well-posed. Gains below still use the ORIGINAL curvature + reg.
+    def _psd(Ms):
+        w, v = jnp.linalg.eigh(Ms)
+        w = jnp.maximum(w, 0.0)
+        return jnp.einsum("tij,tj,tkj->tik", v, w, v)
+
+    X_t = _psd(X_t)
     q_t = q - jnp.einsum("tmn,tm->tn", S, Uinv_r)
 
     # Per-step elements: eta = -q (E = ... - eta^T x), b = -L U^{-1} r,
@@ -102,14 +120,14 @@ def parallel_backward_pass(A, B, cx, cu, cxx, cuu, cux, reg, psd_delta=0.0):
         -q_t,
         X_t,
     )
-    # Terminal element: pure cost, no transition.
+    # Terminal element: pure cost, no transition (same PSD treatment).
     zeros_n = jnp.zeros((1, n, n), A.dtype)
     term = (
         zeros_n,
         jnp.zeros((1, n), A.dtype),
         zeros_n,
         -cx[T][None],
-        cxx[T][None],
+        _psd(cxx[T][None]),
     )
     elems = jax.tree_util.tree_map(
         lambda e, t: jnp.concatenate([e, t], axis=0), elems, term
