@@ -125,3 +125,30 @@ def test_ilqr_psd_option(psd_delta):
         SolverSettings(psd_delta=psd_delta),
     )
     assert bool(sol.converged)
+
+
+def test_split_terminal_cost_matches_combined():
+    """The stage/terminal split path must produce the same solution as the
+    combined cost(x, u, t) form (t == T selecting the terminal)."""
+    T = 8
+
+    def stage(x, u, t):
+        return jnp.sum((x - 0.3) ** 2) + 0.05 * jnp.sum(u**2)
+
+    def terminal(x):
+        return 4.0 * jnp.sum(jnp.tanh(x) ** 2)
+
+    def combined(x, u, t):
+        return jnp.where(t == T, terminal(x), stage(x, u, t))
+
+    def dynamics(x, u, t):
+        return x + 0.1 * jnp.tanh(u) + 0.05 * jnp.sin(x)
+
+    x0 = jnp.array([0.6, -0.4])
+    U0 = jnp.zeros((T, 2))
+    settings = SolverSettings(grad_norm_tol=1e-6, max_iterations=300)
+    a = ilqr(combined, dynamics, x0, U0, settings)
+    b = ilqr(stage, dynamics, x0, U0, settings, terminal)
+    # same optimum to solver tolerance (fp rounding differs per path)
+    np.testing.assert_allclose(np.asarray(a.U), np.asarray(b.U), atol=5e-4)
+    np.testing.assert_allclose(float(a.obj), float(b.obj), rtol=1e-5)
