@@ -23,6 +23,70 @@ from gan_mpc_tpu.utils import io
 from gan_mpc_tpu.utils.metrics import MetricsRecorder
 
 
+def _run_fused_epochs(
+    config, ctx, params, opts, opt_states, replay, key, history, metrics,
+    log_fn,
+):
+    """Alternate epoch loop: each epoch is ONE jitted XLA program
+    (training/fused_epoch.py). Enabled via runtime.fused_epochs: true.
+    Checkpointing is handled by the caller-level save only (the fused
+    state layout differs from the modular path)."""
+    import jax.numpy as jnp
+
+    from gan_mpc_tpu.training.fused_epoch import make_fused_gan_epoch
+
+    tcfg = config.mpc.train
+    ccfg, dcfg, qcfg = tcfg.cost, tcfg.dynamics, tcfg.critic
+    cost_train, _ = ctx["cost_data"]
+    n_envs = config.get_path("runtime.num_parallel_envs", 1)
+    epoch_fn = make_fused_gan_epoch(
+        ctx["policy"],
+        ctx["env_im"],
+        ctx["env_im_params"],
+        ctx["normalizer"],
+        opts,
+        cost_train[0],
+        cost_train[1],
+        num_envs=n_envs,
+        episode_steps=dcfg.max_interactions_per_episode,
+        history=config.mpc.history,
+        dynamics_updates=dcfg.num_updates,
+        critic_updates=qcfg.num_updates,
+        cost_updates=ccfg.num_updates,
+        batch_size=ccfg.batch_size,
+        gamma=dcfg.discount_factor,
+        polyak_factor=ccfg.polyak_factor,
+        critic_plan_batch=min(64, cost_train[0].shape[0]),
+    )
+    for epoch in range(1, tcfg.num_epochs + 1):
+        key, sub = jax.random.split(key)
+        tf = jnp.asarray(
+            epoch <= tcfg.num_epochs * dcfg.teacher_forcing_factor
+        )
+        params, opt_states, replay, m = epoch_fn(
+            params, opt_states, replay, sub, tf
+        )
+        history["episode_returns"].append(float(m.episode_return))
+        history["dynamics_train_losses"].append(float(m.dynamics_loss))
+        history["critic_train_losses"].append(float(m.critic_loss))
+        history["cost_train_losses"].append(float(m.generator_loss))
+        metrics.record(
+            epoch,
+            episode_return=float(m.episode_return),
+            dynamics_train_loss=float(m.dynamics_loss),
+            critic_train_loss=float(m.critic_loss),
+            generator_train_loss=float(m.generator_loss),
+        )
+        if log_fn is not None:
+            log_fn(
+                f"[gan/fused] epoch {epoch} return {float(m.episode_return):.1f} "
+                f"dyn {float(m.dynamics_loss):.5f} "
+                f"critic {float(m.critic_loss):.5f} "
+                f"gen {float(m.generator_loss):.5f}"
+            )
+    return params, replay, key
+
+
 def run(config: Config, log_fn=print):
     from gan_mpc_tpu import runtime_setup
 
@@ -83,6 +147,21 @@ def run(config: Config, log_fn=print):
         "cost_test_losses": [],
         "episode_returns": [],
     }
+    if config.get_path("runtime.fused_epochs", False):
+        opts = {"dynamics": dyn_opt, "critic": critic_opt, "cost": cost_opt}
+        opt_states_d = {
+            "dynamics": dyn_opt_state,
+            "critic": critic_opt_state,
+            "cost": cost_opt_state,
+        }
+        # default-pad the test-loss histories the modular path fills
+        history["critic_test_losses"].append(0.0)
+        history["cost_test_losses"].append(0.0)
+        params, replay, key = _run_fused_epochs(
+            config, ctx, params, opts, opt_states_d, replay, key,
+            history, metrics, log_fn,
+        )
+        start_epoch = tcfg.num_epochs + 1  # skip the modular loop
     for epoch in range(start_epoch, tcfg.num_epochs + 1):
         key, k_dyn, k_critic, k_cost = jax.random.split(key, 4)
         params, dyn_opt_state, replay, ep_returns, dyn_losses = train_dynamics(
