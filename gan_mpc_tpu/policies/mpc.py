@@ -182,7 +182,7 @@ class MPCPolicy:
 
         def single(history_x, params, *args):
             zeros_u = jnp.zeros(
-                (history_x.shape[0] - 1, self._u_size_of(params)),
+                (history_x.shape[0] - 1, self.expert_model.u_size),
                 jnp.float32,
             )
             sol = self.plan(
@@ -199,6 +199,3 @@ class MPCPolicy:
 
         return jax.value_and_grad(batch_loss)(params)
 
-    def _u_size_of(self, params) -> int:
-        # infer action size from the expert head (static under jit)
-        return self.expert_model.u_size

@@ -48,10 +48,17 @@ def _update_scan(
     return params, opt_state, jnp.mean(losses)
 
 
+_MAX_EVAL_WINDOWS = 256
+
+
 def evaluate_cost_loss(policy, loss_fn, params, dataset, has_targets=True):
-    """Planning loss on a held-out set (no grads)."""
-    X = dataset[0]
-    Y = dataset[1] if has_targets else None
+    """Planning loss on a held-out set (no grads). Capped at
+    ``_MAX_EVAL_WINDOWS`` windows — each one is a full planner solve, and
+    the reference's evaluate-the-whole-test-set-each-update habit
+    (norm/cost_trainer.py:44-48) dominates wall-clock at realistic
+    dataset sizes."""
+    X = dataset[0][:_MAX_EVAL_WINDOWS]
+    Y = dataset[1][:_MAX_EVAL_WINDOWS] if has_targets else None
 
     def single(history_x, *args):
         zeros_u = jnp.zeros(

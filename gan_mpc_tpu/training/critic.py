@@ -91,8 +91,10 @@ def train_critic(
     seqs, labels = build_critic_dataset(
         policy, params, true_train_data[0], true_train_data[1], k_train
     )
+    # cap the held-out planning fan-out (each window is a full solve)
     test_seqs, test_labels = build_critic_dataset(
-        policy, params, true_test_data[0], true_test_data[1], k_test
+        policy, params, true_test_data[0][:256], true_test_data[1][:256],
+        k_test,
     )
     datasize = seqs.shape[0]
     steps = max(datasize // batch_size, 1)
