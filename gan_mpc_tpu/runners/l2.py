@@ -155,9 +155,9 @@ def checkpointer_for(config: Config, family: str):
     )
 
 
-def evaluate(config: Config, ctx, key) -> float:
+def evaluate(config: Config, ctx, key, num_runs=None) -> float:
     ecfg = config.mpc.evaluate
-    num_runs = ecfg.num_runs_for_avg
+    num_runs = ecfg.num_runs_for_avg if num_runs is None else num_runs
     if num_runs <= 0:
         return 0.0
     return float(
@@ -208,6 +208,7 @@ def run(config: Config, log_fn=print):
         )
     )
     ckpt = checkpointer_for(config, "l2")
+    best_eval, best_params = float("-inf"), None
     start_epoch = 1
     if ckpt is not None and ckpt.latest_step() is not None:
         state = ckpt.restore(
@@ -288,7 +289,24 @@ def run(config: Config, log_fn=print):
                 f"[l2] epoch {epoch} return {ep_returns[-1]:.1f} "
                 f"dyn_loss {dyn_losses[-1]:.5f} cost_loss {cost_losses[-1]:.5f}"
             )
+        every = config.get_path("mpc.evaluate.every_epochs", 0)
+        if every and epoch % every == 0:
+            key, k_mid = jax.random.split(key)
+            ctx["params"] = params
+            mid = evaluate(config, ctx, k_mid, num_runs=1)
+            metrics.record(epoch, eval_reward=mid)
+            if mid >= best_eval:
+                best_eval, best_params = mid, params
+            if log_fn is not None:
+                log_fn(f"[l2] epoch {epoch} eval_reward {mid:.1f}"
+                       f" (best {best_eval:.1f})")
 
+    # Model selection: keep the best periodically-evaluated params
+    # (GAN-style training is non-monotonic; last is often not best).
+    if best_params is not None and config.get_path(
+        "mpc.evaluate.keep_best", True
+    ):
+        params = best_params
     ctx["params"] = params
     key, k_eval = jax.random.split(key)
     avg_reward = evaluate(config, ctx, k_eval)

@@ -161,3 +161,19 @@ def test_l2_checkpoint_resume(tiny_config, expert_result, tmp_path):
     # only epoch 2 was trained in the second run
     assert sum(1 for m in logs2 if m.startswith("[l2] epoch")) == 1
     assert out["avg_reward"] >= 0.0
+
+
+def test_l2_periodic_eval_and_best_selection(tiny_config, expert_result):
+    """mpc.evaluate.every_epochs triggers mid-training evals and the saved
+    params are the best-evaluated ones."""
+    from gan_mpc_tpu.runners import l2
+
+    cfg = tiny_config.replace(
+        mpc__train__num_epochs=2,
+        mpc__evaluate__every_epochs=1,
+    )
+    logs = []
+    out = l2.run(cfg, log_fn=logs.append)
+    evals = [m for m in logs if "eval_reward" in m]
+    assert len(evals) == 2
+    assert out["avg_reward"] >= 0.0
