@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from gan_mpc_tpu.envs import base
@@ -22,9 +23,9 @@ from gan_mpc_tpu.envs.planar import PlanarModel, step as planar_step
 
 # Link order: torso(root), bthigh, bshin, bfoot, fthigh, fshin, ffoot.
 _PARENT = (-1, 0, 1, 2, 0, 4, 5)
-_LENGTHS = jnp.array([1.0, 0.29, 0.30, 0.19, 0.27, 0.21, 0.14])
-_MASSES = jnp.array([6.4, 1.5, 1.6, 1.1, 1.4, 1.2, 0.9])
-_ANCHORS = jnp.array(
+_LENGTHS = np.array([1.0, 0.29, 0.30, 0.19, 0.27, 0.21, 0.14])
+_MASSES = np.array([6.4, 1.5, 1.6, 1.1, 1.4, 1.2, 0.9])
+_ANCHORS = np.array(
     [
         [0.0, 0.0],     # root (unused)
         [-0.5, 0.0],    # bthigh at torso rear
@@ -36,17 +37,17 @@ _ANCHORS = jnp.array(
     ]
 )
 # COM midway along each limb (torso COM at root origin).
-_COM = jnp.array(
+_COM = np.array(
     [[0.0, 0.0]]
     + [[0.0, -float(l) / 2.0] for l in _LENGTHS[1:]]
 )
 _INERTIA = _MASSES * _LENGTHS**2 / 12.0
-_STIFFNESS = jnp.array([0.0, 240.0, 180.0, 120.0, 180.0, 120.0, 60.0])
-_DAMPING = jnp.array([0.0, 6.0, 4.5, 3.0, 4.5, 3.0, 1.5])
+_STIFFNESS = np.array([0.0, 240.0, 180.0, 120.0, 180.0, 120.0, 60.0])
+_DAMPING = np.array([0.0, 6.0, 4.5, 3.0, 4.5, 3.0, 1.5])
 # Rest pose: back leg bent so both feet reach the same ground height
 # (back chain 0.78 long vs front 0.62; see tests for the settle check).
-_REF = jnp.array([0.0, 0.9, -0.75, 0.35, 0.0, 0.0, 0.0])
-_RANGE = jnp.array(
+_REF = np.array([0.0, 0.9, -0.75, 0.35, 0.0, 0.0, 0.0])
+_RANGE = np.array(
     [
         [0.0, 0.0],
         [-0.52, 1.05],
@@ -57,10 +58,10 @@ _RANGE = jnp.array(
         [-0.50, 0.50],
     ]
 )
-_GEAR = jnp.array([0.0, 120.0, 90.0, 60.0, 120.0, 60.0, 30.0])
+_GEAR = np.array([0.0, 120.0, 90.0, 60.0, 120.0, 60.0, 30.0])
 # Contacts: both feet tips, torso rear-bottom and the "head".
 _CONTACT_BODY = (3, 6, 0, 0)
-_CONTACT_OFFSET = jnp.array(
+_CONTACT_OFFSET = np.array(
     [[0.0, -0.19], [0.0, -0.14], [-0.5, -0.05], [0.6, 0.05]]
 )
 
@@ -84,16 +85,16 @@ class CheetahRun:
         return CheetahParams()
 
     def _model(self, params: CheetahParams) -> PlanarModel:
-        masses = _MASSES.at[0].set(params.body_mass_torso)
+        masses = jnp.asarray(_MASSES).at[0].set(params.body_mass_torso)
         stiff = (
-            _STIFFNESS.at[3]
+            jnp.asarray(_STIFFNESS).at[3]
             .set(params.jnt_stiffness_bfoot)
             .at[6]
             .set(params.jnt_stiffness_ffoot)
         )
         scale = params.geom_size_torso
-        anchors = _ANCHORS.at[1, 0].set(-0.5 * scale).at[4, 0].set(0.5 * scale)
-        inertia = _INERTIA.at[0].set(
+        anchors = jnp.asarray(_ANCHORS).at[1, 0].set(-0.5 * scale).at[4, 0].set(0.5 * scale)
+        inertia = jnp.asarray(_INERTIA).at[0].set(
             params.body_mass_torso * (scale * _LENGTHS[0]) ** 2 / 12.0
         )
         return PlanarModel(

@@ -13,13 +13,17 @@ end: inertia = m L^2 / 3, COM at L / 2.
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 from flax import struct
 
 from gan_mpc_tpu.envs import base
 
-_COS_BOUND = float(jnp.cos(jnp.deg2rad(8.0)))
+# Pure-Python so importing this module never initializes a JAX backend
+# (the driver's dryrun must be able to force a CPU backend first).
+_COS_BOUND = math.cos(math.radians(8.0))
 
 
 class PendulumParams(struct.PyTreeNode):

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from gan_mpc_tpu.envs import base
@@ -19,8 +20,8 @@ from gan_mpc_tpu.envs.planar import PlanarModel, step as planar_step
 # Bodies: torso(root, extends UP from hip), lthigh, lshin, lfoot,
 #         rthigh, rshin, rfoot.
 _PARENT = (-1, 0, 1, 2, 0, 4, 5)
-_MASSES = jnp.array([3.5, 0.9, 0.6, 0.3, 0.9, 0.6, 0.3])
-_ANCHORS = jnp.array(
+_MASSES = np.array([3.5, 0.9, 0.6, 0.3, 0.9, 0.6, 0.3])
+_ANCHORS = np.array(
     [
         [0.0, 0.0],
         [0.0, 0.0],     # left thigh at the hip (root origin)
@@ -31,17 +32,17 @@ _ANCHORS = jnp.array(
         [0.0, -0.5],
     ]
 )
-_LENGTHS = jnp.array([0.6, 0.45, 0.5, 0.2, 0.45, 0.5, 0.2])
+_LENGTHS = np.array([0.6, 0.45, 0.5, 0.2, 0.45, 0.5, 0.2])
 # torso COM is ABOVE the hip (+z in body frame); limbs extend down.
-_COM = jnp.array(
+_COM = np.array(
     [[0.0, 0.3]]
     + [[0.0, -float(l) / 2.0] for l in _LENGTHS[1:]]
 )
 _INERTIA = _MASSES * _LENGTHS**2 / 12.0
-_STIFFNESS = jnp.array([0.0, 30.0, 20.0, 40.0, 30.0, 20.0, 40.0])
-_DAMPING = jnp.array([0.0, 2.0, 1.5, 1.0, 2.0, 1.5, 1.0])
-_REF = jnp.zeros(7)
-_RANGE = jnp.array(
+_STIFFNESS = np.array([0.0, 30.0, 20.0, 40.0, 30.0, 20.0, 40.0])
+_DAMPING = np.array([0.0, 2.0, 1.5, 1.0, 2.0, 1.5, 1.0])
+_REF = np.zeros(7, np.float32)
+_RANGE = np.array(
     [
         [0.0, 0.0],
         [-1.0, 1.0],
@@ -52,11 +53,11 @@ _RANGE = jnp.array(
         [-0.8, 0.8],
     ]
 )
-_GEAR = jnp.array([0.0, 60.0, 40.0, 20.0, 60.0, 40.0, 20.0])
+_GEAR = np.array([0.0, 60.0, 40.0, 20.0, 60.0, 40.0, 20.0])
 # Heel and toe of each foot, plus hip and head so a fallen body rests on
 # the ground instead of passing through it.
 _CONTACT_BODY = (3, 3, 6, 6, 0, 0)
-_CONTACT_OFFSET = jnp.array(
+_CONTACT_OFFSET = np.array(
     [[-0.06, -0.2], [0.1, -0.2], [-0.06, -0.2], [0.1, -0.2],
      [0.0, 0.0], [0.0, 0.6]]
 )
@@ -82,14 +83,14 @@ class WalkerWalk:
         return WalkerParams()
 
     def _model(self, params: WalkerParams) -> PlanarModel:
-        masses = _MASSES.at[0].set(params.body_mass_torso)
+        masses = jnp.asarray(_MASSES).at[0].set(params.body_mass_torso)
         stiff = (
-            _STIFFNESS.at[1]
+            jnp.asarray(_STIFFNESS).at[1]
             .set(params.jnt_stiffness_left_hip)
             .at[4]
             .set(params.jnt_stiffness_right_hip)
         )
-        inertia = _INERTIA.at[0].set(
+        inertia = jnp.asarray(_INERTIA).at[0].set(
             params.body_mass_torso
             * (params.geom_size_torso * _LENGTHS[0]) ** 2
             / 12.0

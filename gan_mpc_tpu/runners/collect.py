@@ -77,7 +77,7 @@ def scripted_expert(env):
 # Open-loop CPG gait for cheetah_run, found by on-device evolution search
 # over the differentiable planar engine (mean forward speed ~2.4 m/s).
 # u_i(t) = tanh(amp_i sin(2 pi f t dt + phase_i) + offset_i).
-_CHEETAH_GAIT = jnp.array(
+_CHEETAH_GAIT = np.array(
     [3.0599, 1.6547, 2.6491, 1.3525, 2.2158, 2.275, 0.9197,
      2.4828, 0.0499, -0.304, 2.7068, 3.477, 5.3848, 1.05,
      0.1363, -1.0107, -0.4368, -0.5142, 0.8856]
@@ -85,7 +85,7 @@ _CHEETAH_GAIT = jnp.array(
 
 
 def cheetah_gait_action(t: jax.Array, dt: float) -> jax.Array:
-    vec = _CHEETAH_GAIT
+    vec = jnp.asarray(_CHEETAH_GAIT)
     freq = 1.0 + 3.0 * jax.nn.sigmoid(vec[0])
     amp, phase, offset = vec[1:7], vec[7:13], vec[13:19]
     ph = 2.0 * jnp.pi * freq * t * dt
