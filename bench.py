@@ -37,7 +37,7 @@ def main():
     import __graft_entry__ as ge
     from gan_mpc_tpu.data.normalizer import Normalizer
     from gan_mpc_tpu.envs import make_env
-    from gan_mpc_tpu.envs.rollout import batched_rollout
+    from gan_mpc_tpu.envs.rollout import batch_policy_rollout
 
     env = make_env(env_name)
     policy, params, x_size, u_size = ge._flagship(
@@ -48,11 +48,14 @@ def main():
     )
     norm = Normalizer.identity(x_size, u_size)
 
+    # Batch-native planner path: the whole env batch enters ONE solver
+    # instance (planner/batch_ilqr.py) and the fused batch MLP ops see
+    # real batches in the hot loop.
     run = jax.jit(
-        lambda params, key: batched_rollout(
+        lambda params, key: batch_policy_rollout(
             env,
             env.default_params(),
-            policy.act,
+            policy.act_batch,
             params,
             norm,
             key,

@@ -118,6 +118,111 @@ def batched_rollout(
     )(keys)
 
 
+def batch_policy_rollout(
+    env,
+    env_params,
+    batch_policy_fn: Callable,
+    policy_params,
+    normalizer: Normalizer,
+    key: jax.Array,
+    num_steps: int,
+    history: int,
+    num_envs: int,
+    action_noise: float = 0.0,
+) -> EpisodeData:
+    """Closed-loop rollouts driven by a BATCH policy: one scan over time
+    for all envs, calling ``batch_policy_fn(params, hist_X (B,h+1,x),
+    hist_U (B,h,u)) -> (B, act)`` — the batch-native planner path
+    (``MPCPolicy.act_batch``), where the whole env batch enters one
+    solver instance and the fused batch ops see real batches.
+    """
+    obs_size, act_size = env.obs_size, env.act_size
+    k_reset, k_noise = jax.random.split(key)
+    init_states = jax.vmap(lambda k: env.reset(env_params, k))(
+        jax.random.split(k_reset, num_envs)
+    )
+    hist_x0 = jnp.zeros((num_envs, history + 1, obs_size), jnp.float32)
+    hist_u0 = jnp.zeros((num_envs, history, act_size), jnp.float32)
+
+    def step_fn(carry, k_step):
+        env_states, hist_x, hist_u = carry
+        obs = jax.vmap(lambda s: env.observe(env_params, s))(env_states)
+        xn = normalizer.normalize_state(obs)
+        hist_x = jnp.roll(hist_x, -1, axis=1).at[:, -1].set(xn)
+        u = batch_policy_fn(policy_params, hist_x, hist_u)
+        u = jnp.asarray(u, dtype=jnp.float32)
+        if action_noise > 0.0:
+            u = jnp.clip(
+                u + action_noise * jax.random.normal(k_step, u.shape),
+                -1.0,
+                1.0,
+            )
+        hist_u = jnp.roll(hist_u, -1, axis=1).at[:, -1].set(
+            normalizer.normalize_action(u)
+        )
+        qpos = env_states.qpos
+        env_states, reward = jax.vmap(
+            lambda s, a: env.step(env_params, s, a)
+        )(env_states, u)
+        return (env_states, hist_x, hist_u), (obs, u, reward, qpos)
+
+    _, (states, actions, rewards, qpos) = jax.lax.scan(
+        step_fn,
+        (init_states, hist_x0, hist_u0),
+        jax.random.split(k_noise, num_steps),
+    )
+    # time-major (T, B, ...) -> env-major (B, T, ...) like batched_rollout
+    to_env_major = lambda a: jnp.swapaxes(a, 0, 1)
+    return EpisodeData(
+        states=to_env_major(states),
+        actions=to_env_major(actions),
+        rewards=to_env_major(rewards),
+        qpos=to_env_major(qpos),
+    )
+
+
+def policy_rollout(
+    env,
+    env_params,
+    policy,
+    policy_params,
+    normalizer: Normalizer,
+    key: jax.Array,
+    num_steps: int,
+    history: int,
+    num_envs: int,
+    action_noise: float = 0.0,
+) -> EpisodeData:
+    """Rollout dispatcher: uses the batch-native planner path
+    (``MPCPolicy.act_batch`` -> one solver for the whole env batch) when
+    the policy supports it, vmapped per-env planning otherwise."""
+    if getattr(policy, "batch_native", False):
+        return batch_policy_rollout(
+            env,
+            env_params,
+            policy.act_batch,
+            policy_params,
+            normalizer,
+            key,
+            num_steps=num_steps,
+            history=history,
+            num_envs=num_envs,
+            action_noise=action_noise,
+        )
+    return batched_rollout(
+        env,
+        env_params,
+        policy.act,
+        policy_params,
+        normalizer,
+        key,
+        num_steps=num_steps,
+        history=history,
+        num_envs=num_envs,
+        action_noise=action_noise,
+    )
+
+
 def average_return(
     env,
     env_params,

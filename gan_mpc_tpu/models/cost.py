@@ -85,6 +85,79 @@ class MPCCost:
         w = jax.nn.sigmoid(raw_weights)
         return w[2] * self.net.apply(net_params, xc)
 
+    # -- batch-native planner hooks --------------------------------------
+    #
+    # The stage cost is closed-form (pseudo-Huber in u and in x - goal,
+    # separable => cux = 0), and the terminal relu net's Hessian is
+    # EXACTLY its Gauss-Newton form 2 w JᵀJ (relu is piecewise-linear, so
+    # the residual's second derivative vanishes a.e.) — no AD hessians in
+    # the planner's hot loop.
+
+    def stage_cost_batch(self, X, U, t, raw_weights, goal_tm):
+        """X (B,K,n), U (B,K,m), goal_tm (T+1,B,gs) TIME-MAJOR -> (B,K)."""
+        w = jax.nn.sigmoid(raw_weights)
+        gs = goal_tm.shape[-1]
+        d = X[..., :gs] - goal_tm[t][:, None]
+        a = _HUBER_ALPHA
+        sn = lambda v: jnp.sqrt(jnp.sum(v * v, -1) + a * a) - a
+        return w[0] * sn(U) + w[1] * sn(d)
+
+    def terminal_cost_batch(self, X, net_params, raw_weights):
+        """X (B,K,n) -> (B,K): w2 * |f(x)|^2 via the fused stack."""
+        from gan_mpc_tpu.ops.fused_mlp import dense_stack, mlp_apply
+
+        w = jax.nn.sigmoid(raw_weights)
+        B, K, n = X.shape
+        f = mlp_apply(X.reshape(B * K, n), dense_stack(net_params))
+        return w[2] * jnp.sum(f * f, -1).reshape(B, K)
+
+    def quad_batch(self, X, U, net_params, raw_weights, goal_tm):
+        """Whole-horizon quadratization, TIME-MAJOR: X (T+1,B,n),
+        U (T,B,m), goal_tm (T+1,B,gs) -> cx (T+1,B,n), cu (T,B,m),
+        cxx (T+1,B,n,n), cuu (T,B,m,m), cux (T,B,m,n) — stage rows
+        closed-form, terminal row from the fused value-and-Jacobian of
+        the feature net."""
+        from gan_mpc_tpu.ops.fused_mlp import dense_stack, mlp_value_and_jac
+
+        w = jax.nn.sigmoid(raw_weights)
+        T1, B, n = X.shape
+        T = T1 - 1
+        m = U.shape[-1]
+        a = _HUBER_ALPHA
+        gs = goal_tm.shape[-1]
+        eye_g = jnp.eye(gs, dtype=X.dtype)
+        eye_m = jnp.eye(m, dtype=X.dtype)
+
+        def huber(v, eye):
+            s = jnp.sqrt(jnp.sum(v * v, -1, keepdims=True) + a * a)
+            g = v / s  # (..., d)
+            H = eye / s[..., None] - (
+                v[..., :, None] * v[..., None, :]
+            ) / (s[..., None] ** 3)
+            return g, H
+
+        d = X[:T, :, :gs] - goal_tm[:T]
+        gx, Hx = huber(d, eye_g)
+        cx_s = jnp.zeros((T, B, n), X.dtype).at[..., :gs].set(w[1] * gx)
+        cxx_s = (
+            jnp.zeros((T, B, n, n), X.dtype)
+            .at[..., :gs, :gs]
+            .set(w[1] * Hx)
+        )
+        gu, Hu = huber(U, eye_m)
+        cu = w[0] * gu
+        cuu = w[0] * Hu
+        cux = jnp.zeros((T, B, m, n), X.dtype)
+
+        # terminal: value/grad/hess of w2 |f(x)|^2, exact for relu nets
+        f, J = mlp_value_and_jac(X[-1], dense_stack(net_params))
+        cx_T = 2.0 * w[2] * jnp.einsum("bo,boi->bi", f, J)
+        cxx_T = 2.0 * w[2] * jnp.einsum("boi,boj->bij", J, J)
+
+        cx = jnp.concatenate([cx_s, cx_T[None]], axis=0)
+        cxx = jnp.concatenate([cxx_s, cxx_T[None]], axis=0)
+        return cx, cu, cxx, cuu, cux
+
     def __call__(
         self,
         xc: jax.Array,

@@ -93,6 +93,36 @@ class LearnedDynamics:
         del t
         return self.net.apply(params, xc, u)
 
+    # -- batch-native planner hooks (carry-free MLP nets only) ----------
+
+    @property
+    def is_batch_native(self) -> bool:
+        """True when the net supports the fused batch-major planner path
+        (plain residual relu-MLP, no recurrent carry)."""
+        return (
+            isinstance(self.net, ResidualMLPDynamicsNet)
+            and self.carry_size == 0
+        )
+
+    def batch_apply(self, params, X: jax.Array, U: jax.Array) -> jax.Array:
+        """next_x for (N, n) states / (N, m) actions in one fused call."""
+        from gan_mpc_tpu.ops.fused_mlp import dense_stack, mlp_apply
+
+        z = jnp.concatenate([X, U], axis=-1)
+        return X + mlp_apply(z, dense_stack(params))
+
+    def batch_value_and_jac(self, params, X: jax.Array, U: jax.Array):
+        """(next_x (N,n), A (N,n,n), B (N,n,m)): fused forward + exact
+        Jacobians of the residual MLP (relu nets are piecewise-linear, so
+        the masked weight-product Jacobian is exact a.e.)."""
+        from gan_mpc_tpu.ops.fused_mlp import dense_stack, mlp_value_and_jac
+
+        n = X.shape[-1]
+        z = jnp.concatenate([X, U], axis=-1)
+        dx, J = mlp_value_and_jac(z, dense_stack(params))
+        A = J[..., :n] + jnp.eye(n, dtype=X.dtype)
+        return X + dx, A, J[..., n:]
+
     def warm_carry(
         self, params, history_x: jax.Array, history_u: jax.Array
     ) -> jax.Array:

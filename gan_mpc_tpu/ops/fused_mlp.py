@@ -259,3 +259,64 @@ def _fused_bwd(res, g):
 
 
 fused_mlp.defvjp(_fused_fwd, _fused_bwd)
+
+
+# ---------------------------------------------------------------------------
+# fused value + Jacobian (batch-native planner linearization)
+# ---------------------------------------------------------------------------
+
+def dense_stack(flax_params) -> Tuple[Tuple[jax.Array, jax.Array], ...]:
+    """((W, b), ...) from a flax param tree of auto-named Dense layers."""
+    layers = flax_params["params"]
+    names = sorted(layers, key=lambda s: int(s.rsplit("_", 1)[1]))
+    return tuple((layers[k]["kernel"], layers[k]["bias"]) for k in names)
+
+
+# Minimum rows before the Pallas forward beats XLA's pipelined Denses
+# (measured on v5e: crossover ~32k, competitive from ~8k; see module
+# docstring). Below this plain jnp is used.
+FUSED_MIN_ROWS = 8192
+
+
+def mlp_apply(x: jax.Array, params) -> jax.Array:
+    """relu-MLP forward on (N, fin) rows; routes to the fused Pallas
+    kernel when the batch is large enough for it to win."""
+    if _on_tpu() and x.shape[0] >= FUSED_MIN_ROWS:
+        return fused_mlp(x, params)
+    return _reference_forward(x, params)
+
+
+def mlp_value_and_jac(x: jax.Array, params):
+    """Forward value AND exact input-Jacobian of a relu MLP, batch-major.
+
+    x: (N, fin) -> (y (N, fout), J (N, fout, fin)).
+
+    The planner's linearization previously pushed fin tangent vectors per
+    instance through ``jax.jacfwd`` (per-instance batched matmuls). Here
+    the Jacobian chain is computed as flattened (N*fin, h) @ (h, h')
+    GEMMs with the shared weight — MXU-shaped (M huge, K/N = layer
+    widths) — with the relu masks from the forward pass applied between
+    layers. Exact for relu networks (piecewise-linear, so the product of
+    masked weight matrices IS the Jacobian a.e.).
+    """
+    n_layers = len(params)
+    N, fin = x.shape
+    h = x
+    masks = []
+    for i, (w, b) in enumerate(params):
+        h = h @ w + b
+        if i < n_layers - 1:
+            mask = (h > 0.0).astype(h.dtype)
+            h = h * mask
+            masks.append(mask)
+
+    w0 = params[0][0]  # (fin, h1)
+    J = jnp.broadcast_to(w0[None], (N,) + w0.shape)
+    if masks:
+        J = J * masks[0][:, None, :]
+    for i in range(1, n_layers):
+        wi = params[i][0]  # (h_i, h_{i+1})
+        J = (J.reshape(N * fin, -1) @ wi).reshape(N, fin, -1)
+        if i < n_layers - 1:
+            J = J * masks[i][:, None, :]
+    return h, jnp.swapaxes(J, 1, 2)  # (N, fout, fin)

@@ -45,6 +45,7 @@ from gan_mpc_tpu.planner.ilqr import (
     ilqr,
     rollout,
 )
+from gan_mpc_tpu.planner.linalg import solve_spd
 
 
 def _tree_zeros(tree):
@@ -146,7 +147,9 @@ def make_implicit_planner(
         if solver == "dense":
             A = jax.jacfwd(flat_grad)(Ustar.reshape(T * m), theta)
             A = (A + A.T) / 2.0 + ridge * jnp.eye(T * m, dtype=A.dtype)
-            v = jnp.linalg.solve(A, u_bar)
+            # Custom-call-free for small T*m (see planner/linalg.py);
+            # falls back to LU above SMALL_MAX.
+            v = solve_spd(A, u_bar[:, None])[:, 0]
         else:
             u_flat = Ustar.reshape(T * m)
 

@@ -34,6 +34,8 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
+from gan_mpc_tpu.planner.linalg import solve_spd
+
 
 @dataclasses.dataclass(frozen=True)
 class SolverSettings:
@@ -59,6 +61,11 @@ class SolverSettings:
     # "sequential" scan or "associative" (parallel-in-time, O(log T)
     # depth — for long horizons; see planner/parallel_riccati.py).
     riccati: str = "sequential"
+    # Unroll factor for the inner length-T scans (rollout, Riccati,
+    # adjoint). At the short horizons MPC uses (T <= 8) full unrolling
+    # removes loop overhead and lets XLA overlap timesteps; keep 1 for
+    # long horizons to bound compile time.
+    inner_unroll: int = 1
 
 
 class ILQRSolution(struct.PyTreeNode):
@@ -71,7 +78,9 @@ class ILQRSolution(struct.PyTreeNode):
     converged: jax.Array  # bool
 
 
-def rollout(dynamics: Callable, U: jax.Array, x0: jax.Array) -> jax.Array:
+def rollout(
+    dynamics: Callable, U: jax.Array, x0: jax.Array, unroll: int = 1
+) -> jax.Array:
     """Roll controls through dynamics. Returns X with shape (T+1, n)."""
 
     ts = jnp.arange(U.shape[0])
@@ -81,7 +90,7 @@ def rollout(dynamics: Callable, U: jax.Array, x0: jax.Array) -> jax.Array:
         nx = dynamics(x, u, t)
         return nx, nx
 
-    _, tail = jax.lax.scan(step, x0, (U, ts))
+    _, tail = jax.lax.scan(step, x0, (U, ts), unroll=unroll)
     return jnp.concatenate([x0[None], tail], axis=0)
 
 
@@ -193,11 +202,11 @@ def _backward_pass(A, B, cx, cu, cxx, cuu, cux, reg, settings):
         else:
             Quu_safe = Quu
         Quu_reg = Quu_safe + reg * jnp.eye(Quu.shape[0], dtype=Quu.dtype)
-        # One solve serves both the open-loop and feedback gains. (LU via
-        # jnp.linalg.solve rather than cholesky: functionally equivalent on
-        # these small SPD systems, and avoids an XLA CPU issue where the
-        # spotrf custom call goes unregistered inside large fused modules.)
-        kK = jnp.linalg.solve(
+        # One solve serves both the open-loop and feedback gains. Unrolled
+        # Gauss-Jordan for these tiny SPD systems: no LU/cholesky custom
+        # call (which dominated TPU wall-clock and fails to register inside
+        # large fused XLA:CPU modules) — see planner/linalg.py.
+        kK = solve_spd(
             Quu_reg, jnp.concatenate([Qu[:, None], Qux], axis=1)
         )
         k, K = -kK[:, 0], -kK[:, 1:]
@@ -210,13 +219,39 @@ def _backward_pass(A, B, cx, cu, cxx, cuu, cux, reg, settings):
 
     inputs = (A, B, cx[:-1], cu[:-1], cxx[:-1], cuu[:-1], cux[:-1])
     (_, _, dv1, dv2), (k, K, Qu, Vxs) = jax.lax.scan(
-        step, (Vx, Vxx, 0.0, 0.0), inputs, reverse=True
+        step, (Vx, Vxx, 0.0, 0.0), inputs, reverse=True,
+        unroll=settings.inner_unroll,
     )
     adjoints = jnp.concatenate([Vxs, cx[-1][None]], axis=0)
     return k, K, Qu, dv1, dv2, adjoints
 
 
-def _forward_pass(dynamics, total_fn, X, U, k, K, alpha):
+def _adjoint_gradient(A, B, cx, cu, unroll: int = 1):
+    """Exact open-loop objective gradient dJ/dU at the CURRENT (X, U) via
+    the costate (adjoint) recursion over the already-computed linearization:
+
+        lam_T = cx_T;  g_t = cu_t + B_t^T lam_{t+1};
+        lam_t = cx_t + A_t^T lam_{t+1}.
+
+    O(T) matvecs on (n,)-vectors — replaces a full reverse-mode AD pass
+    through the rollout (which re-runs every dynamics/cost backward) per
+    iLQR iteration. This is the same gradient trajax derives from its
+    backward pass (``/root/reference/policy/optimizers.py:55-57`` unpacks
+    it as ``gradient``)."""
+
+    def step(lam, inputs):
+        At, Bt, cxt, cut = inputs
+        g = cut + Bt.T @ lam
+        lam_new = cxt + At.T @ lam
+        return lam_new, g
+
+    _, G = jax.lax.scan(
+        step, cx[-1], (A, B, cx[:-1], cu[:-1]), reverse=True, unroll=unroll
+    )
+    return G
+
+
+def _forward_pass(dynamics, total_fn, X, U, k, K, alpha, unroll: int = 1):
     """Closed-loop rollout with step size alpha. Returns (Xnew, Unew, obj)."""
 
     ts = jnp.arange(U.shape[0])
@@ -227,7 +262,9 @@ def _forward_pass(dynamics, total_fn, X, U, k, K, alpha):
         nx = dynamics(x, u, t)
         return nx, (nx, u)
 
-    _, (tail, Unew) = jax.lax.scan(step, X[0], (X[:-1], U, k, K, ts))
+    _, (tail, Unew) = jax.lax.scan(
+        step, X[0], (X[:-1], U, k, K, ts), unroll=unroll
+    )
     Xnew = jnp.concatenate([X[0][None], tail], axis=0)
     return Xnew, Unew, total_fn(Xnew, Unew)
 
@@ -267,7 +304,7 @@ def ilqr(
         settings.alpha_decay ** jnp.arange(settings.num_alphas, dtype=jnp.float32)
     )
 
-    X0 = rollout(dynamics, U0, x0)
+    X0 = rollout(dynamics, U0, x0, unroll=settings.inner_unroll)
     obj0 = total_fn(X0, U0)
     grad0 = _objective_grad(total_fn, dynamics, U0, x0)
     adj0 = jnp.zeros_like(X0)
@@ -298,9 +335,18 @@ def ilqr(
                 A, B, cx, cu, cxx, cuu, cux, reg, settings
             )
 
+        # Exact gradient at the current iterate from the linearization
+        # already in hand — no extra reverse-AD pass (see _adjoint_gradient).
+        gradn = _adjoint_gradient(
+            A, B, cx, cu, unroll=settings.inner_unroll
+        )
+
         # Parallel fixed-grid line search (static shapes, one vmap).
         Xs, Us, objs = jax.vmap(
-            lambda a: _forward_pass(dynamics, total_fn, X, U, k, K, a)
+            lambda a: _forward_pass(
+                dynamics, total_fn, X, U, k, K, a,
+                unroll=settings.inner_unroll,
+            )
         )(alphas)
         objs = jnp.where(jnp.isfinite(objs), objs, jnp.inf)
         best = jnp.argmin(objs)
@@ -317,9 +363,6 @@ def ilqr(
         )
         adjn = jnp.where(improved, adjoints, adj)
 
-        gradn = jnp.where(
-            improved, _objective_grad(total_fn, dynamics, Un, x0), grad
-        )
         grad_small = jnp.linalg.norm(gradn) < settings.grad_norm_tol
         stalled = jnp.logical_and(~improved, reg >= settings.reg_max)
         converged = grad_small | stalled

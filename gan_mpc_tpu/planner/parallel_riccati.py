@@ -37,6 +37,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from gan_mpc_tpu.planner.linalg import solve_spd
+
 
 def _combine(earlier, later):
     """Compose segment ``earlier`` (in time) with ``later``.
@@ -89,8 +91,8 @@ def parallel_backward_pass(A, B, cx, cu, cxx, cuu, cux, reg, psd_delta=0.0):
     X = cxx[:T]
 
     # Complete the square to remove cross terms: u = u~ - U^{-1} S x.
-    Uinv_S = jnp.linalg.solve(U, S)  # (T, m, n)
-    Uinv_r = jnp.linalg.solve(U, r[..., None])[..., 0]  # (T, m)
+    Uinv_S = solve_spd(U, S)  # (T, m, n)
+    Uinv_r = solve_spd(U, r[..., None])[..., 0]  # (T, m)
     F_t = A - jnp.einsum("tnm,tmk->tnk", B, Uinv_S)
     X_t = X - jnp.einsum("tmn,tmk->tnk", S, Uinv_S)
     X_t = (X_t + jnp.swapaxes(X_t, 1, 2)) / 2.0
@@ -110,7 +112,7 @@ def parallel_backward_pass(A, B, cx, cu, cxx, cuu, cux, reg, psd_delta=0.0):
 
     # Per-step elements: eta = -q (E = ... - eta^T x), b = -L U^{-1} r,
     # C = L U^{-1} L^T  with L = B.
-    Uinv_Bt = jnp.linalg.solve(U, jnp.swapaxes(B, 1, 2))  # (T, m, n)
+    Uinv_Bt = solve_spd(U, jnp.swapaxes(B, 1, 2))  # (T, m, n)
     C_el = jnp.einsum("tnm,tmk->tnk", B, Uinv_Bt)
     b_el = -jnp.einsum("tnm,tm->tn", B, Uinv_r)
     elems = (
@@ -148,7 +150,7 @@ def parallel_backward_pass(A, B, cx, cu, cxx, cuu, cux, reg, psd_delta=0.0):
         Quu = cuut + Bt.T @ P1 @ Bt + reg * eye_m
         Qu = cut + Bt.T @ p1
         Qux = cuxt + Bt.T @ P1 @ At
-        kK = jnp.linalg.solve(
+        kK = solve_spd(
             Quu, jnp.concatenate([Qu[:, None], Qux], axis=1)
         )
         k, K = -kK[:, 0], -kK[:, 1:]

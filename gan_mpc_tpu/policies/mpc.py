@@ -51,6 +51,7 @@ class MPCPolicy:
         self.critic_model = critic_model
         self.horizon = horizon
         self.x_size = dynamics_model.x_size
+        self.settings = settings
 
         # Stage and terminal costs split so the terminal net is evaluated
         # once per rollout, not at every step (the combined jnp.where form
@@ -157,6 +158,77 @@ class MPCPolicy:
         """First optimal action — the per-env-step inference hot path
         (``/root/reference/policy/eval.py:126-128``)."""
         return self.plan(params, history_x, history_u).U[0]
+
+    # -- batch-native planning (fused hot path) ---------------------------
+
+    @property
+    def batch_native(self) -> bool:
+        """Whether the batch-major fused planner path applies (carry-free
+        MLP dynamics; recurrent dynamics fall back to vmapped planning)."""
+        return self.dynamics_model.is_batch_native
+
+    def plan_batch(self, params, history_X, history_U) -> ILQRSolution:
+        """Solve a whole (B,)-batch of MPC problems in ONE solver:
+        batch-major iLQR whose cost/dynamics callbacks receive the full
+        batch, so the fused MLP ops run on real batches
+        (``planner/batch_ilqr.py``). history_X: (B, h+1, x);
+        history_U: (B, h, u). Eval semantics (history-warmed; carry-free
+        nets have no carry to warm).
+        """
+        from gan_mpc_tpu.planner.batch_ilqr import BatchProblem, batch_ilqr
+
+        if not self.batch_native:
+            sol = jax.vmap(
+                lambda hx, hu: self.plan(params, hx, hu)
+            )(history_X, history_U)
+            return sol
+
+        goal_X, init_U = jax.vmap(
+            lambda hx: self.goals_and_warm_start(params, hx)
+        )(history_X)
+        goal_tm = jnp.swapaxes(goal_X, 0, 1)  # (T+1, B, x) time-major
+        theta_c, theta_w = params["cost_params"], params["mpc_weights"]
+        theta_d = params["dynamics_params"]
+        cost_model, dyn_model = self.cost_model, self.dynamics_model
+
+        def dynamics_step(X, U, t):
+            del t
+            B, K, n = X.shape
+            nx = dyn_model.batch_apply(
+                theta_d, X.reshape(B * K, n), U.reshape(B * K, -1)
+            )
+            return nx.reshape(B, K, n)
+
+        def dynamics_jac(X, U):  # time-major (T, B, ...)
+            T, B, n = X.shape
+            _, A, Bm = dyn_model.batch_value_and_jac(
+                theta_d, X.reshape(T * B, n), U.reshape(T * B, -1)
+            )
+            return (
+                A.reshape(T, B, n, n),
+                Bm.reshape(T, B, n, -1),
+            )
+
+        problem = BatchProblem(
+            dynamics_step=dynamics_step,
+            dynamics_jac=dynamics_jac,
+            stage_cost=lambda X, U, t: cost_model.stage_cost_batch(
+                X, U, t, theta_w, goal_tm
+            ),
+            terminal_cost=lambda X: cost_model.terminal_cost_batch(
+                X, theta_c, theta_w
+            ),
+            quad=lambda X, U: cost_model.quad_batch(
+                X, U, theta_c, theta_w, goal_tm
+            ),
+        )
+        return batch_ilqr(
+            problem, history_X[:, -1], init_U, self.settings
+        )
+
+    def act_batch(self, params, history_X, history_U) -> jax.Array:
+        """(B,) first optimal actions via the batch-native planner."""
+        return self.plan_batch(params, history_X, history_U).U[:, 0]
 
     def planned_states(self, sol: ILQRSolution) -> jax.Array:
         """Strip the packed dynamics carry: (horizon + 1, x_size)."""

@@ -20,7 +20,7 @@ from gan_mpc_tpu.data.windows import (
     sequence_windows,
     shuffle_and_split,
 )
-from gan_mpc_tpu.envs.rollout import average_return, batched_rollout
+from gan_mpc_tpu.envs.rollout import policy_rollout
 from gan_mpc_tpu.policies.losses import l2_imitation_loss
 from gan_mpc_tpu.runners import common
 from gan_mpc_tpu.runners.expert import load_pretrained_expert, run as run_expert
@@ -82,10 +82,11 @@ def setup(config: Config, with_critic: bool = False):
     n_envs = config.get_path("runtime.num_parallel_envs", 1)
 
     def collect_fn(params, k):
-        return batched_rollout(
+        # batch-native planner path when the dynamics net supports it
+        return policy_rollout(
             env_im,
             env_im_params,
-            act_fn,
+            policy,
             params,
             normalizer,
             k,
@@ -160,19 +161,18 @@ def evaluate(config: Config, ctx, key, num_runs=None) -> float:
     num_runs = ecfg.num_runs_for_avg if num_runs is None else num_runs
     if num_runs <= 0:
         return 0.0
-    return float(
-        average_return(
-            ctx["env_im"],
-            ctx["env_im_params"],
-            ctx["act_fn"],
-            ctx["params"],
-            ctx["normalizer"],
-            key,
-            num_steps=ecfg.max_interactions,
-            history=config.mpc.history,
-            num_runs=num_runs,
-        )
+    ep = policy_rollout(
+        ctx["env_im"],
+        ctx["env_im_params"],
+        ctx["policy"],
+        ctx["params"],
+        ctx["normalizer"],
+        key,
+        num_steps=ecfg.max_interactions,
+        history=config.mpc.history,
+        num_envs=max(num_runs, 1),
     )
+    return float(jnp.mean(jnp.sum(ep.rewards, axis=-1)))
 
 
 def run(config: Config, log_fn=print):

@@ -29,7 +29,7 @@ import optax
 
 from gan_mpc_tpu.data.buffers import ReplayBuffer
 from gan_mpc_tpu.data.windows import minibatch_indices
-from gan_mpc_tpu.envs.rollout import batched_rollout
+from gan_mpc_tpu.envs.rollout import policy_rollout
 from gan_mpc_tpu.policies.losses import critic_bce_loss, gan_generator_loss
 from gan_mpc_tpu.training.dynamics import multistep_prediction_loss
 from gan_mpc_tpu.training.masking import polyak_blend
@@ -88,11 +88,12 @@ def make_fused_gan_epoch(
     def epoch(params, opt_states, replay: ReplayBuffer, key, teacher_forcing):
         k_collect, k_dyn, k_crit, k_cost, k_shuffle = jax.random.split(key, 5)
 
-        # ---- 1. on-policy collection (batched, fully on device) -------
-        episode = batched_rollout(
+        # ---- 1. on-policy collection (batched, fully on device;
+        # batch-native planner when the dynamics net supports it) --------
+        episode = policy_rollout(
             env,
             env_params,
-            policy.act,
+            policy,
             params,
             normalizer,
             k_collect,

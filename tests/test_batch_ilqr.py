@@ -1,0 +1,209 @@
+"""Batch-native iLQR (planner/batch_ilqr.py) against oracles and the
+per-instance solver.
+
+Covers: LQR-oracle exactness of the batch solver, the analytic/fused
+quadratization and linearization against AD, batch_apply against the flax
+net, and whole-solve agreement between ``plan_batch`` and vmapped
+``plan`` on the flagship MPC problem.
+"""
+
+import importlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import __graft_entry__ as ge
+from gan_mpc_tpu.planner import SolverSettings
+from gan_mpc_tpu.planner.batch_ilqr import BatchProblem, batch_ilqr
+from gan_mpc_tpu.planner.linalg import solve_spd
+
+ilqr_mod = importlib.import_module("gan_mpc_tpu.planner.ilqr")
+
+KEY = jax.random.PRNGKey(0)
+
+
+def _lqr_problem(B, T, n, m, key):
+    """Random batched LQR with per-lane dynamics; analytic callbacks."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    A = jnp.eye(n) + 0.05 * jax.random.normal(k1, (B, n, n))
+    Bm = 0.5 * jax.random.normal(k2, (B, n, m))
+    Q = jnp.eye(n) * 1.0
+    R = jnp.eye(m) * 0.1
+    x0 = jax.random.normal(k3, (B, n))
+
+    problem = BatchProblem(
+        dynamics_step=lambda X, U, t: (
+            jnp.einsum("bij,bkj->bki", A, X)
+            + jnp.einsum("bij,bkj->bki", Bm, U)
+        ),
+        dynamics_jac=lambda X, U: (
+            jnp.broadcast_to(A[None], X.shape[:2] + (X.shape[-1],) * 2),
+            jnp.broadcast_to(Bm[None], X.shape[:2] + Bm.shape[1:]),
+        ),
+        stage_cost=lambda X, U, t: 0.5
+        * (
+            jnp.einsum("bki,ij,bkj->bk", X, Q, X)
+            + jnp.einsum("bki,ij,bkj->bk", U, R, U)
+        ),
+        terminal_cost=lambda X: 0.5 * jnp.einsum("bki,ij,bkj->bk", X, Q, X),
+        quad=lambda X, U: (
+            jnp.einsum("ij,tbj->tbi", Q, X),
+            jnp.einsum("ij,tbj->tbi", R, U),
+            jnp.broadcast_to(Q, X.shape[:2] + (X.shape[-1],) * 2),
+            jnp.broadcast_to(R, U.shape[:2] + (U.shape[-1],) * 2),
+            jnp.zeros(U.shape[:2] + (U.shape[-1], X.shape[-1])),
+        ),
+    )
+    return problem, A, Bm, Q, R, x0
+
+
+def _lqr_oracle_controls(A, Bm, Q, R, x0, T):
+    """Exact finite-horizon LQR controls for one lane via Riccati."""
+    P = Q
+    Ks = []
+    for _ in range(T):
+        M = R + Bm.T @ P @ Bm
+        K = np.linalg.solve(M, Bm.T @ P @ A)
+        P = Q + A.T @ P @ A - A.T @ P @ Bm @ K
+        Ks.append(K)
+    Ks = Ks[::-1]
+    x, us = x0, []
+    for t in range(T):
+        u = -Ks[t] @ x
+        us.append(u)
+        x = A @ x + Bm @ u
+    return np.stack(us)
+
+
+def test_batch_ilqr_matches_lqr_oracle():
+    B, T, n, m = 4, 6, 3, 2
+    problem, A, Bm, Q, R, x0 = _lqr_problem(B, T, n, m, KEY)
+    U0 = jnp.zeros((B, T, m))
+    sol = batch_ilqr(
+        problem, x0, U0, SolverSettings(max_iterations=20, grad_norm_tol=1e-7)
+    )
+    assert bool(jnp.all(sol.converged))
+    for b in range(B):
+        U_star = _lqr_oracle_controls(
+            np.asarray(A[b]), np.asarray(Bm[b]), np.asarray(Q),
+            np.asarray(R), np.asarray(x0[b]), T,
+        )
+        np.testing.assert_allclose(
+            np.asarray(sol.U[b]), U_star, atol=2e-4
+        )
+
+
+def test_batch_ilqr_lanes_converge_independently():
+    B, T, n, m = 6, 5, 3, 2
+    problem, A, Bm, Q, R, x0 = _lqr_problem(B, T, n, m, KEY)
+    # lane 0 starts AT the optimum-ish (tiny state), others far away
+    x0 = x0.at[0].set(1e-6 * x0[0])
+    sol = batch_ilqr(
+        problem, x0, jnp.zeros((B, T, m)),
+        SolverSettings(max_iterations=20, grad_norm_tol=1e-6),
+    )
+    assert bool(jnp.all(sol.converged))
+    assert int(sol.iterations[0]) <= 2
+    # per-lane iteration counts are genuinely independent
+    assert int(jnp.max(sol.iterations)) >= int(sol.iterations[0])
+
+
+@pytest.fixture(scope="module")
+def flagship():
+    policy, params, x_size, u_size = ge._flagship(
+        horizon=5, max_iterations=5, x_size=17, u_size=6
+    )
+    return policy, params, x_size, u_size
+
+
+def test_quad_batch_matches_ad(flagship):
+    policy, params, x_size, u_size = flagship
+    B, T = 4, policy.horizon
+    k1, k2, k3 = jax.random.split(KEY, 3)
+    X = 0.3 * jax.random.normal(k1, (T + 1, B, x_size))
+    U = 0.3 * jax.random.normal(k2, (T, B, u_size))
+    goal_tm = 0.3 * jax.random.normal(k3, (T + 1, B, x_size))
+    theta_w = params["mpc_weights"]
+    theta_c = params["cost_params"]
+
+    an = policy.cost_model.quad_batch(X, U, theta_c, theta_w, goal_tm)
+
+    stage = lambda x, u, t, g: policy.cost_model.stage(x, u, t, theta_w, g)
+    term = lambda x: policy.cost_model.terminal(x, theta_c, theta_w)
+    Xb = jnp.swapaxes(X, 0, 1)
+    Ub = jnp.swapaxes(U, 0, 1)
+    ad = jax.vmap(
+        lambda X_, U_, g: ilqr_mod._quadratize_split(
+            lambda x, u, t: stage(x, u, t, g), term, X_, U_
+        )
+    )(Xb, Ub, jnp.swapaxes(goal_tm, 0, 1))
+    for name, a_, b_ in zip(["cx", "cu", "cxx", "cuu", "cux"], ad, an):
+        b_bm = jnp.swapaxes(b_, 0, 1)
+        a_ = a_[:, : b_bm.shape[1]]  # AD pads cu/cuu/cux with terminal row
+        np.testing.assert_allclose(
+            np.asarray(a_), np.asarray(b_bm), atol=2e-3, err_msg=name
+        )
+
+
+def test_batch_jacobian_matches_ad(flagship):
+    policy, params, x_size, u_size = flagship
+    theta_d = params["dynamics_params"]
+    N = 64
+    k1, k2 = jax.random.split(KEY)
+    X = jax.random.normal(k1, (N, x_size))
+    U = jax.random.normal(k2, (N, u_size))
+    nx, A, Bm = policy.dynamics_model.batch_value_and_jac(theta_d, X, U)
+    np.testing.assert_allclose(
+        np.asarray(nx),
+        np.asarray(policy.dynamics_model.batch_apply(theta_d, X, U)),
+        atol=1e-5,
+    )
+    dyn = lambda x, u: policy.dynamics_model(x, u, 0, theta_d)
+    A_ad, B_ad = jax.vmap(jax.jacfwd(dyn, argnums=(0, 1)))(X, U)
+    np.testing.assert_allclose(np.asarray(A), np.asarray(A_ad), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(Bm), np.asarray(B_ad), atol=1e-5)
+
+
+def test_batch_apply_matches_net(flagship):
+    policy, params, x_size, u_size = flagship
+    theta_d = params["dynamics_params"]
+    N = 32
+    k1, k2 = jax.random.split(KEY)
+    X = jax.random.normal(k1, (N, x_size))
+    U = jax.random.normal(k2, (N, u_size))
+    got = policy.dynamics_model.batch_apply(theta_d, X, U)
+    want = jax.vmap(lambda x, u: policy.dynamics_model(x, u, 0, theta_d))(
+        X, U
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_plan_batch_close_to_vmapped_plan(flagship):
+    policy, params, x_size, u_size = flagship
+    B = 8
+    hX = 0.1 * jax.random.normal(KEY, (B, 2, x_size))
+    hU = jnp.zeros((B, 1, u_size))
+    sol_b = policy.plan_batch(params, hX, hU)
+    sol_v = jax.vmap(lambda hx, hu: policy.plan(params, hx, hu))(hX, hU)
+    # Same problem, same solver family; line-search rounding may pick a
+    # slightly different local iterate, so compare objectives, not exact
+    # trajectories.
+    np.testing.assert_allclose(
+        np.asarray(sol_b.obj), np.asarray(sol_v.obj), rtol=0.05, atol=0.02
+    )
+    assert sol_b.U.shape == sol_v.U.shape == (B, policy.horizon, u_size)
+
+
+def test_solve_spd_matches_lu():
+    for m in (1, 2, 4, 6, 8):
+        k = jax.random.fold_in(KEY, m)
+        A = jax.random.normal(k, (32, m, m))
+        A = A @ jnp.swapaxes(A, -1, -2) + 0.1 * jnp.eye(m)
+        B = jax.random.normal(jax.random.fold_in(k, 1), (32, m, m + 2))
+        np.testing.assert_allclose(
+            np.asarray(solve_spd(A, B)),
+            np.asarray(jnp.linalg.solve(A, B)),
+            atol=5e-4,
+        )

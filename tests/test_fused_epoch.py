@@ -33,11 +33,9 @@ from gan_mpc_tpu.training.masking import masked_adam
 KEY = jax.random.PRNGKey(0)
 H = 3
 
-pytestmark = pytest.mark.skipif(
-    jax.default_backend() == "cpu",
-    reason="XLA:CPU LAPACK FFI registration bug for this fused module; "
-    "verified on TPU",
-)
+# Round 1 skipped this on CPU (an XLA:CPU LAPACK FFI registration bug in
+# the fused module). The planner's solves are now custom-call-free
+# (planner/linalg.py), so it runs on every backend.
 
 
 def test_fused_gan_epoch_runs_and_learns():

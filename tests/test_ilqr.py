@@ -150,5 +150,5 @@ def test_split_terminal_cost_matches_combined():
     a = ilqr(combined, dynamics, x0, U0, settings)
     b = ilqr(stage, dynamics, x0, U0, settings, terminal)
     # same optimum to solver tolerance (fp rounding differs per path)
-    np.testing.assert_allclose(np.asarray(a.U), np.asarray(b.U), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(a.U), np.asarray(b.U), atol=2e-3)
     np.testing.assert_allclose(float(a.obj), float(b.obj), rtol=1e-5)
