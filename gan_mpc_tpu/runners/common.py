@@ -69,27 +69,40 @@ def build_dynamics_model(config: Config, x_size: int) -> LearnedDynamics:
     return LearnedDynamics(net)
 
 
-def build_expert_model(
-    config: Config, x_size: int, u_size: int
+def build_expert_model_from_dict(
+    mdict: dict, x_size: int, u_size: int
 ) -> ExpertPredictor:
-    mcfg = config.expert_prediction.model
-    if mcfg.use == "lstm":
+    """Expert predictor from a plain model-config dict — the schema saved
+    into each expert run's ``config.json``, so saved models are rebuilt
+    from THEIR OWN architecture regardless of the current YAML
+    (``/root/reference/utils.py:216-227`` reloads saved configs the same
+    way)."""
+    use = mdict["use"]
+    if use == "lstm":
         return ExpertPredictor(
             x_size=x_size,
             u_size=u_size,
             arch="lstm",
-            features=mcfg.lstm.features,
-            hidden=tuple(mcfg.lstm.hidden),
+            features=mdict["lstm"]["features"],
+            hidden=tuple(mdict["lstm"]["hidden"]),
         )
-    if mcfg.use == "mlp":
+    if use == "mlp":
         return ExpertPredictor(
             x_size=x_size,
             u_size=u_size,
             arch="mlp",
             features=0,
-            hidden=tuple(mcfg.mlp.hidden),
+            hidden=tuple(mdict["mlp"]["hidden"]),
         )
-    raise ValueError(f"expert model.use must be mlp|lstm, got {mcfg.use!r}")
+    raise ValueError(f"expert model.use must be mlp|lstm, got {use!r}")
+
+
+def build_expert_model(
+    config: Config, x_size: int, u_size: int
+) -> ExpertPredictor:
+    return build_expert_model_from_dict(
+        config.expert_prediction.model.to_dict(), x_size, u_size
+    )
 
 
 def build_critic_model(config: Config) -> SequenceCritic:
@@ -103,10 +116,15 @@ def build_critic_model(config: Config) -> SequenceCritic:
 
 def solver_settings(config: Config) -> SolverSettings:
     mpc = config.mpc
+    horizon = mpc.get_path("horizon", 5)
+    # fully unroll the inner length-T scans at short horizons (removes
+    # loop overhead; bounded so long-horizon configs keep compile time)
+    default_unroll = horizon if horizon <= 8 else 1
     return SolverSettings(
         max_iterations=mpc.get_path("solver.max_iterations", 100),
         grad_norm_tol=mpc.get_path("solver.grad_norm_tol", 1e-4),
         riccati=mpc.get_path("solver.riccati", "sequential"),
+        inner_unroll=mpc.get_path("solver.inner_unroll", default_unroll),
     )
 
 
@@ -116,14 +134,21 @@ def build_policy(
     u_size: int,
     with_critic: bool = False,
     expert_params=None,
+    expert_model=None,
     key=None,
 ):
-    """Returns (policy, params)."""
+    """Returns (policy, params). ``expert_model`` overrides the
+    current-config architecture — pass the model reconstructed from a
+    saved run's own config.json when loading pretrained experts."""
     horizon = config.mpc.horizon
     policy = MPCPolicy(
         cost_model=build_cost_model(config, horizon),
         dynamics_model=build_dynamics_model(config, x_size),
-        expert_model=build_expert_model(config, x_size, u_size),
+        expert_model=(
+            expert_model
+            if expert_model is not None
+            else build_expert_model(config, x_size, u_size)
+        ),
         critic_model=build_critic_model(config) if with_critic else None,
         horizon=horizon,
         settings=solver_settings(config),
@@ -204,3 +229,20 @@ def imitator_model_dir(config: Config, family: str) -> str:
     return os.path.join(
         workdir, "trained_models", "imitator", config.env.name, family
     )
+
+
+def record_solver_stats(metrics, policy, params, cost_test, epoch, n=32):
+    """Plan on a small batch of held-out expert histories and record iLQR
+    convergence diagnostics (iterations / converged fraction / objective)
+    — the observability the reference computes but discards
+    (``/root/reference/policy/optimizers.py:55``, iteration count unused).
+    ``cost_test`` is the (X, Y) held-out cost split from setup()."""
+    from gan_mpc_tpu.utils.metrics import solver_stats
+
+    hX = cost_test[0][:n]
+    hU = jnp.zeros(
+        (hX.shape[0], hX.shape[1] - 1, policy.expert_model.u_size),
+        jnp.float32,
+    )
+    sol = jax.jit(policy.plan_batch)(params, hX, hU)
+    metrics.record(epoch, **solver_stats(sol))

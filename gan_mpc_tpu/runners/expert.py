@@ -115,13 +115,22 @@ def run(config: Config, log_fn=print):
     }
 
 
-def load_pretrained_expert(config: Config, template_params):
-    """Load expert params by ``mpc.model.expert.load_id`` (or latest run),
-    mirroring ``/root/reference/expert/expert_model.py:40-50``."""
+def load_pretrained_expert(config: Config, x_size: int, u_size: int):
+    """Load a saved expert by ``mpc.model.expert.load_id`` (or latest run)
+    and RECONSTRUCT ITS MODEL FROM ITS OWN SAVED config.json — not from
+    the current YAML — so an expert trained under a different architecture
+    restores correctly (``/root/reference/utils.py:216-227`` +
+    ``expert/expert_model.py:17-50``). Returns ``(model, params)``."""
     run_dir = io.latest_run_dir(
         common.expert_model_dir(config),
         config.get_path("mpc.model.expert.load_id"),
     )
-    return io.load_params(
-        template_params, os.path.join(run_dir, "params.msgpack")
+    saved = io.load_json(os.path.join(run_dir, "config.json"))
+    model = common.build_expert_model_from_dict(
+        saved["model"], x_size, u_size
     )
+    template = model.init_params(jax.random.PRNGKey(0))
+    params = io.load_params(
+        template, os.path.join(run_dir, "params.msgpack")
+    )
+    return model, params

@@ -8,6 +8,8 @@ critic), then evaluate and persist.
 
 from __future__ import annotations
 
+import contextlib
+
 import os
 
 import jax
@@ -20,24 +22,26 @@ from gan_mpc_tpu.training.critic import train_critic
 from gan_mpc_tpu.training.dynamics import train_dynamics
 from gan_mpc_tpu.training.masking import masked_adam
 from gan_mpc_tpu.utils import io
-from gan_mpc_tpu.utils.metrics import MetricsRecorder
+from gan_mpc_tpu.utils.metrics import MetricsRecorder, profiler_trace
 
 
 def _run_fused_epochs(
     config, ctx, params, opts, opt_states, replay, key, history, metrics,
-    log_fn,
+    log_fn, ckpt=None, start_epoch=1,
 ):
     """Alternate epoch loop: each epoch is ONE jitted XLA program
     (training/fused_epoch.py). Enabled via runtime.fused_epochs: true.
-    Checkpointing is handled by the caller-level save only (the fused
-    state layout differs from the modular path)."""
+    Emits the same train AND held-out test metrics as the modular loop,
+    runs the periodic eval / best-checkpoint selection, and checkpoints
+    with the same state keys. Returns (params, replay, key, best_eval,
+    best_params)."""
     import jax.numpy as jnp
 
     from gan_mpc_tpu.training.fused_epoch import make_fused_gan_epoch
 
     tcfg = config.mpc.train
     ccfg, dcfg, qcfg = tcfg.cost, tcfg.dynamics, tcfg.critic
-    cost_train, _ = ctx["cost_data"]
+    cost_train, cost_test = ctx["cost_data"]
     n_envs = config.get_path("runtime.num_parallel_envs", 1)
     epoch_fn = make_fused_gan_epoch(
         ctx["policy"],
@@ -57,8 +61,14 @@ def _run_fused_epochs(
         gamma=dcfg.discount_factor,
         polyak_factor=ccfg.polyak_factor,
         critic_plan_batch=min(64, cost_train[0].shape[0]),
+        expert_history_X_test=cost_test[0],
+        expert_future_Y_test=cost_test[1],
+        expert_dyn_windows=ctx["dyn_train"],
+        expert_dyn_updates=dcfg.get_path("expert_updates", 0),
     )
-    for epoch in range(1, tcfg.num_epochs + 1):
+    best_eval, best_params = float("-inf"), None
+    every = config.get_path("mpc.evaluate.every_epochs", 0)
+    for epoch in range(start_epoch, tcfg.num_epochs + 1):
         key, sub = jax.random.split(key)
         tf = jnp.asarray(
             epoch <= tcfg.num_epochs * dcfg.teacher_forcing_factor
@@ -69,14 +79,30 @@ def _run_fused_epochs(
         history["episode_returns"].append(float(m.episode_return))
         history["dynamics_train_losses"].append(float(m.dynamics_loss))
         history["critic_train_losses"].append(float(m.critic_loss))
+        history["critic_test_losses"].append(float(m.critic_test_loss))
         history["cost_train_losses"].append(float(m.generator_loss))
+        history["cost_test_losses"].append(float(m.generator_test_loss))
         metrics.record(
             epoch,
             episode_return=float(m.episode_return),
             dynamics_train_loss=float(m.dynamics_loss),
             critic_train_loss=float(m.critic_loss),
+            critic_test_loss=float(m.critic_test_loss),
             generator_train_loss=float(m.generator_loss),
+            generator_test_loss=float(m.generator_test_loss),
         )
+        if ckpt is not None:
+            ckpt.maybe_save(
+                epoch,
+                {
+                    "params": params,
+                    "cost_opt_state": opt_states["cost"],
+                    "dyn_opt_state": opt_states["dynamics"],
+                    "critic_opt_state": opt_states["critic"],
+                    "replay": replay,
+                    "key": key,
+                },
+            )
         if log_fn is not None:
             log_fn(
                 f"[gan/fused] epoch {epoch} return {float(m.episode_return):.1f} "
@@ -84,7 +110,20 @@ def _run_fused_epochs(
                 f"critic {float(m.critic_loss):.5f} "
                 f"gen {float(m.generator_loss):.5f}"
             )
-    return params, replay, key
+        if every and epoch % every == 0:
+            key, k_mid = jax.random.split(key)
+            ctx["params"] = params
+            mid = l2_runner.evaluate(config, ctx, k_mid, num_runs=1)
+            metrics.record(epoch, eval_reward=mid)
+            common.record_solver_stats(
+                metrics, ctx["policy"], params, cost_test, epoch
+            )
+            if mid >= best_eval:
+                best_eval, best_params = mid, params
+            if log_fn is not None:
+                log_fn(f"[gan/fused] epoch {epoch} eval_reward {mid:.1f}"
+                       f" (best {best_eval:.1f})")
+    return params, replay, key, best_eval, best_params
 
 
 def run(config: Config, log_fn=print):
@@ -155,16 +194,20 @@ def run(config: Config, log_fn=print):
             "critic": critic_opt_state,
             "cost": cost_opt_state,
         }
-        # default-pad the test-loss histories the modular path fills
-        history["critic_test_losses"].append(0.0)
-        history["cost_test_losses"].append(0.0)
-        params, replay, key = _run_fused_epochs(
+        params, replay, key, best_eval, best_params = _run_fused_epochs(
             config, ctx, params, opts, opt_states_d, replay, key,
-            history, metrics, log_fn,
+            history, metrics, log_fn, ckpt=ckpt, start_epoch=start_epoch,
         )
         start_epoch = tcfg.num_epochs + 1  # skip the modular loop
+    profile_dir = config.get_path("runtime.profile_dir")
     for epoch in range(start_epoch, tcfg.num_epochs + 1):
         key, k_dyn, k_critic, k_cost = jax.random.split(key, 4)
+        # jax.profiler trace of the first trained epoch when enabled
+        stack = contextlib.ExitStack()
+        stack.enter_context(
+            profiler_trace(profile_dir if epoch == start_epoch else None)
+        )
+        stack.enter_context(metrics.timed("epoch", epoch))
         params, dyn_opt_state, replay, ep_returns, dyn_losses = train_dynamics(
             policy.dynamics_model,
             dyn_opt,
@@ -210,6 +253,7 @@ def run(config: Config, log_fn=print):
             has_targets=True,  # targets ignored by the GAN loss but keep
             # the same minibatch stream as the reference
         )
+        stack.close()
         history["dynamics_train_losses"] += dyn_losses
         history["critic_train_losses"] += critic_losses
         history["critic_test_losses"] += critic_tests
@@ -247,6 +291,9 @@ def run(config: Config, log_fn=print):
             ctx["params"] = params
             mid = l2_runner.evaluate(config, ctx, k_mid, num_runs=1)
             metrics.record(epoch, eval_reward=mid)
+            common.record_solver_stats(
+                metrics, policy, params, cost_test, epoch
+            )
             if mid >= best_eval:
                 best_eval, best_params = mid, params
             if log_fn is not None:

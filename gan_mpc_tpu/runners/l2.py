@@ -29,7 +29,7 @@ from gan_mpc_tpu.training.dynamics import train_dynamics
 from gan_mpc_tpu.training.masking import masked_adam
 from gan_mpc_tpu.utils import io
 from gan_mpc_tpu.utils.checkpoint import TrainCheckpointer
-from gan_mpc_tpu.utils.metrics import MetricsRecorder
+from gan_mpc_tpu.utils.metrics import MetricsRecorder, profiler_trace
 
 
 def setup(config: Config, with_critic: bool = False):
@@ -41,18 +41,20 @@ def setup(config: Config, with_critic: bool = False):
     trajs = common.ensure_trajectories(config)
     normalizer = common.build_normalizer(config, trajs)
 
-    # Pretrained expert predictor (train one now if none saved yet).
-    template = common.build_expert_model(config, x_size, u_size).init_params(
-        jax.random.PRNGKey(0)
-    )
+    # Pretrained expert predictor (train one now if none saved yet). The
+    # saved model is rebuilt from ITS OWN config.json, so a checkpoint
+    # trained under a different arch than the current YAML still loads.
     try:
-        expert_params = load_pretrained_expert(config, template)
+        expert_model, expert_params = load_pretrained_expert(
+            config, x_size, u_size
+        )
     except FileNotFoundError:
         expert_params = run_expert(config, log_fn=None)["params"]
+        expert_model = None  # freshly trained == current config
 
     policy, params = common.build_policy(
         config, x_size, u_size, with_critic=with_critic,
-        expert_params=expert_params, key=key,
+        expert_params=expert_params, expert_model=expert_model, key=key,
     )
 
     states = normalizer.normalize_state(jnp.asarray(trajs.states))
@@ -175,6 +177,97 @@ def evaluate(config: Config, ctx, key, num_runs=None) -> float:
     return float(jnp.mean(jnp.sum(ep.rewards, axis=-1)))
 
 
+def _run_fused_epochs(
+    config, ctx, params, opts, opt_states, replay, key, history, metrics,
+    log_fn, ckpt=None, start_epoch=1,
+):
+    """L2 counterpart of the GAN fused loop: each epoch is ONE jitted XLA
+    program (training/fused_epoch.make_fused_l2_epoch), with the same
+    metrics, periodic eval / best selection, and checkpoint keys as the
+    modular loop. Returns (params, replay, key, best_eval, best_params)."""
+    import jax.numpy as jnp
+
+    from gan_mpc_tpu.training.fused_epoch import make_fused_l2_epoch
+
+    tcfg = config.mpc.train
+    ccfg, dcfg = tcfg.cost, tcfg.dynamics
+    cost_train, cost_test = ctx["cost_data"]
+    n_envs = config.get_path("runtime.num_parallel_envs", 1)
+    epoch_fn = make_fused_l2_epoch(
+        ctx["policy"],
+        ctx["env_im"],
+        ctx["env_im_params"],
+        ctx["normalizer"],
+        opts,
+        cost_train[0],
+        cost_train[1],
+        num_envs=n_envs,
+        episode_steps=dcfg.max_interactions_per_episode,
+        history=config.mpc.history,
+        dynamics_updates=dcfg.num_updates,
+        cost_updates=ccfg.num_updates,
+        batch_size=ccfg.batch_size,
+        gamma=dcfg.discount_factor,
+        polyak_factor=ccfg.polyak_factor,
+        expert_history_X_test=cost_test[0],
+        expert_future_Y_test=cost_test[1],
+        expert_dyn_windows=ctx["dyn_train"],
+        expert_dyn_updates=dcfg.get_path("expert_updates", 0),
+    )
+    best_eval, best_params = float("-inf"), None
+    every = config.get_path("mpc.evaluate.every_epochs", 0)
+    for epoch in range(start_epoch, tcfg.num_epochs + 1):
+        key, sub = jax.random.split(key)
+        tf = jnp.asarray(
+            epoch <= tcfg.num_epochs * dcfg.teacher_forcing_factor
+        )
+        params, opt_states, replay, m = epoch_fn(
+            params, opt_states, replay, sub, tf
+        )
+        history["episode_returns"].append(float(m.episode_return))
+        history["dynamics_train_losses"].append(float(m.dynamics_loss))
+        history["cost_train_losses"].append(float(m.cost_loss))
+        history["cost_test_losses"].append(float(m.cost_test_loss))
+        metrics.record(
+            epoch,
+            episode_return=float(m.episode_return),
+            dynamics_train_loss=float(m.dynamics_loss),
+            cost_train_loss=float(m.cost_loss),
+            cost_test_loss=float(m.cost_test_loss),
+        )
+        if ckpt is not None:
+            ckpt.maybe_save(
+                epoch,
+                {
+                    "params": params,
+                    "cost_opt_state": opt_states["cost"],
+                    "dyn_opt_state": opt_states["dynamics"],
+                    "replay": replay,
+                    "key": key,
+                },
+            )
+        if log_fn is not None:
+            log_fn(
+                f"[l2/fused] epoch {epoch} return {float(m.episode_return):.1f} "
+                f"dyn_loss {float(m.dynamics_loss):.5f} "
+                f"cost_loss {float(m.cost_loss):.5f}"
+            )
+        if every and epoch % every == 0:
+            key, k_mid = jax.random.split(key)
+            ctx["params"] = params
+            mid = evaluate(config, ctx, k_mid, num_runs=1)
+            metrics.record(epoch, eval_reward=mid)
+            common.record_solver_stats(
+                metrics, ctx["policy"], params, cost_test, epoch
+            )
+            if mid >= best_eval:
+                best_eval, best_params = mid, params
+            if log_fn is not None:
+                log_fn(f"[l2/fused] epoch {epoch} eval_reward {mid:.1f}"
+                       f" (best {best_eval:.1f})")
+    return params, replay, key, best_eval, best_params
+
+
 def run(config: Config, log_fn=print):
     from gan_mpc_tpu import runtime_setup
 
@@ -228,40 +321,55 @@ def run(config: Config, log_fn=print):
         start_epoch = ckpt.latest_step() + 1
         if log_fn is not None:
             log_fn(f"[l2] resumed from checkpoint at epoch {start_epoch - 1}")
+    if config.get_path("runtime.fused_epochs", False):
+        opts = {"dynamics": dyn_opt, "cost": cost_opt}
+        opt_states_d = {"dynamics": dyn_opt_state, "cost": cost_opt_state}
+        params, replay, key, best_eval, best_params = _run_fused_epochs(
+            config, ctx, params, opts, opt_states_d, replay, key,
+            history, metrics, log_fn, ckpt=ckpt, start_epoch=start_epoch,
+        )
+        start_epoch = tcfg.num_epochs + 1  # skip the modular loop
+    profile_dir = config.get_path("runtime.profile_dir")
     for epoch in range(start_epoch, tcfg.num_epochs + 1):
         key, k_dyn, k_cost = jax.random.split(key, 3)
-        params, dyn_opt_state, replay, ep_returns, dyn_losses = train_dynamics(
-            policy.dynamics_model,
-            dyn_opt,
-            params,
-            dyn_opt_state,
-            ctx["dyn_train"],
-            replay,
-            ctx["collect_fn"],
-            ctx["normalizer"],
-            num_episodes=dcfg.num_episodes,
-            num_updates=dcfg.num_updates,
-            batch_size=dcfg.batch_size,
-            discount_factor=dcfg.discount_factor,
-            teacher_forcing_factor=dcfg.teacher_forcing_factor,
-            key=k_dyn,
-            epoch=epoch,
-            warm_start_updates=dcfg.get_path("warm_start_updates", 3),
-            expert_updates=dcfg.get_path("expert_updates", 0),
-        )
-        params, cost_opt_state, cost_losses, cost_tests = train_cost(
-            policy,
-            cost_opt,
-            params,
-            cost_opt_state,
-            ctx["cost_data"][0],
-            ctx["cost_data"][1],
-            l2_imitation_loss,
-            num_updates=ccfg.num_updates,
-            batch_size=ccfg.batch_size,
-            polyak_factor=ccfg.polyak_factor,
-            key=k_cost,
-        )
+        # jax.profiler trace of the first trained epoch when enabled
+        with profiler_trace(
+            profile_dir if epoch == start_epoch else None
+        ), metrics.timed("epoch", epoch):
+            params, dyn_opt_state, replay, ep_returns, dyn_losses = (
+                train_dynamics(
+                    policy.dynamics_model,
+                    dyn_opt,
+                    params,
+                    dyn_opt_state,
+                    ctx["dyn_train"],
+                    replay,
+                    ctx["collect_fn"],
+                    ctx["normalizer"],
+                    num_episodes=dcfg.num_episodes,
+                    num_updates=dcfg.num_updates,
+                    batch_size=dcfg.batch_size,
+                    discount_factor=dcfg.discount_factor,
+                    teacher_forcing_factor=dcfg.teacher_forcing_factor,
+                    key=k_dyn,
+                    epoch=epoch,
+                    warm_start_updates=dcfg.get_path("warm_start_updates", 3),
+                    expert_updates=dcfg.get_path("expert_updates", 0),
+                )
+            )
+            params, cost_opt_state, cost_losses, cost_tests = train_cost(
+                policy,
+                cost_opt,
+                params,
+                cost_opt_state,
+                ctx["cost_data"][0],
+                ctx["cost_data"][1],
+                l2_imitation_loss,
+                num_updates=ccfg.num_updates,
+                batch_size=ccfg.batch_size,
+                polyak_factor=ccfg.polyak_factor,
+                key=k_cost,
+            )
         history["dynamics_train_losses"] += dyn_losses
         history["cost_train_losses"] += cost_losses
         history["cost_test_losses"] += cost_tests
@@ -295,6 +403,9 @@ def run(config: Config, log_fn=print):
             ctx["params"] = params
             mid = evaluate(config, ctx, k_mid, num_runs=1)
             metrics.record(epoch, eval_reward=mid)
+            common.record_solver_stats(
+                metrics, policy, params, ctx["cost_data"][1], epoch
+            )
             if mid >= best_eval:
                 best_eval, best_params = mid, params
             if log_fn is not None:

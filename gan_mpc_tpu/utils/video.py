@@ -109,10 +109,51 @@ def render_cheetah(qpos: np.ndarray) -> np.ndarray:
     return np.stack(frames)
 
 
+def render_walker(qpos: np.ndarray) -> np.ndarray:
+    """qpos (T, 9); biped skeleton via forward kinematics, camera
+    tracking the root x. Torso extends UP from the hip; feet accented."""
+    import jax
+    import jax.numpy as jnp
+
+    from gan_mpc_tpu.envs.planar import forward_kinematics
+    from gan_mpc_tpu.envs.walker import WalkerWalk
+
+    env = WalkerWalk()
+    model = env._model(env.default_params())
+    fk = jax.jit(lambda q: forward_kinematics(model, q)[:2])
+    lengths = {1: 0.45, 2: 0.5, 3: 0.2, 4: 0.45, 5: 0.5, 6: 0.2}
+    frames = []
+    for q in qpos:
+        angles, origins = (np.asarray(a) for a in fk(jnp.asarray(q)))
+        img, d = _canvas()
+        gy = _H * 0.8
+        d.line([(0, gy), (_W, gy)], fill=(150, 150, 160), width=2)
+        cx = q[0]
+        # torso: from the hip (root origin) up along local +z
+        a0 = angles[0]
+        hip = origins[0]
+        head = hip + 0.6 * np.array([-np.sin(a0), np.cos(a0)])
+        x1, y1 = _to_px(hip[0], hip[1], cx, gy)
+        x2, y2 = _to_px(head[0], head[1], cx, gy)
+        d.line([(x1, y1), (x2, y2)], fill=_FG, width=6)
+        # limbs extend along local -z
+        for b, ln in lengths.items():
+            a = angles[b]
+            start = origins[b]
+            end = start + ln * np.array([np.sin(a), -np.cos(a)])
+            x1, y1 = _to_px(start[0], start[1], cx, gy)
+            x2, y2 = _to_px(end[0], end[1], cx, gy)
+            color = _ACCENT if b in (3, 6) else _FG
+            d.line([(x1, y1), (x2, y2)], fill=color, width=4)
+        frames.append(np.asarray(img))
+    return np.stack(frames)
+
+
 _RENDERERS = {
     "pendulum_swingup": render_pendulum,
     "cartpole_balance": render_cartpole,
     "cheetah_run": render_cheetah,
+    "walker_walk": render_walker,
 }
 
 

@@ -177,3 +177,27 @@ def test_l2_periodic_eval_and_best_selection(tiny_config, expert_result):
     evals = [m for m in logs if "eval_reward" in m]
     assert len(evals) == 2
     assert out["avg_reward"] >= 0.0
+
+
+def test_expert_loads_under_arch_mismatch(expert_result, tiny_config):
+    """A saved expert must be rebuilt from ITS OWN config.json even when
+    the current YAML specifies a different architecture
+    (/root/reference/utils.py:216-227 semantics)."""
+    from gan_mpc_tpu.runners.expert import load_pretrained_expert
+
+    # current config now asks for a DIFFERENT expert arch/size
+    mismatched = tiny_config.replace(
+        expert_prediction__model__use="mlp",
+        expert_prediction__model__mlp__hidden=[7],
+    )
+    model, params = load_pretrained_expert(mismatched, 3, 1)
+    # reconstructed from the SAVED run: lstm with the saved sizes
+    assert model.arch == "lstm"
+    assert model.features == 16
+    # and the params actually drive the model
+    import jax.numpy as jnp
+
+    hx = jnp.zeros((2, 3))
+    carry = model.warm_carry(params, hx)
+    goal_X, init_U = model.generate(params, carry, 3)
+    assert goal_X.shape == (4, 3) and init_U.shape == (3, 1)

@@ -1,18 +1,14 @@
-"""The fused single-program GAN-MPC epoch must run NaN-free and update
+"""The fused single-program GAN/L2 epochs must run NaN-free and update
 every trainable component, with the whole epoch inside one jit.
 
-NOTE: skipped on the CPU test harness — this specific (large) fused
-module trips an XLA:CPU bug in this environment where LAPACK FFI custom
-calls (spotrf/sgetrf) go unregistered "for Host"; every phase passes on
-CPU in isolation (see git history for the bisection). The full test runs
-and passes on the real TPU (the target platform), which CI covers via
-the driver's dryrun/bench entry points.
+Round 1 had to skip this on the CPU harness (an XLA:CPU bug left LAPACK
+FFI custom calls unregistered inside this large fused module). The
+planner's solves are now custom-call-free (planner/linalg.py), so it
+runs on every backend.
 """
 
 import jax
-import pytest
 import jax.numpy as jnp
-import optax
 
 from gan_mpc_tpu.data.buffers import ReplayBuffer
 from gan_mpc_tpu.data.normalizer import Normalizer
@@ -32,11 +28,6 @@ from gan_mpc_tpu.training.masking import masked_adam
 
 KEY = jax.random.PRNGKey(0)
 H = 3
-
-# Round 1 skipped this on CPU (an XLA:CPU LAPACK FFI registration bug in
-# the fused module). The planner's solves are now custom-call-free
-# (planner/linalg.py), so it runs on every backend.
-
 
 def test_fused_gan_epoch_runs_and_learns():
     env = PendulumSwingup()
@@ -111,3 +102,57 @@ def test_fused_gan_epoch_runs_and_learns():
         params, opt_states, replay, jax.random.PRNGKey(2), jnp.asarray(False)
     )
     assert bool(jnp.isfinite(m2.generator_loss))
+
+
+def test_fused_l2_epoch_runs_and_learns():
+    from gan_mpc_tpu.training.fused_epoch import make_fused_l2_epoch
+
+    env = PendulumSwingup()
+    x, u = env.obs_size, env.act_size
+    policy = MPCPolicy(
+        cost_model=MPCCost(CostFeatureNet(hidden=(8,), features_out=2), H),
+        dynamics_model=LearnedDynamics(
+            ResidualMLPDynamicsNet(x_size=x, hidden=(16,))
+        ),
+        expert_model=ExpertPredictor(
+            x_size=x, u_size=u, arch="mlp", features=0, hidden=(8,)
+        ),
+        horizon=H,
+        settings=SolverSettings(max_iterations=3),
+    )
+    params = policy.init(KEY, (-2.0, 3.0, -3.0), u)
+    norm = Normalizer.identity(x, u)
+    replay = ReplayBuffer.create(64, H, x, u)
+    opts = {
+        "dynamics": masked_adam(
+            params, ["mpc_weights", "cost_params", "expert_params"], 1e-3
+        )[0],
+        "cost": masked_adam(
+            params, ["dynamics_params", "expert_params"], 1e-4
+        )[0],
+    }
+    opt_states = {k: opt.init(params) for k, opt in opts.items()}
+    n_windows = 16
+    exp_X = 0.1 * jax.random.normal(KEY, (n_windows, 2, x))
+    exp_Y = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(1), (n_windows, H + 1, x)
+    )
+    epoch = make_fused_l2_epoch(
+        policy, env, env.default_params(), norm, opts, exp_X, exp_Y,
+        num_envs=2, episode_steps=6, history=1,
+        dynamics_updates=1, cost_updates=1,
+        batch_size=4, gamma=0.9, polyak_factor=0.9,
+        expert_history_X_test=exp_X[:4], expert_future_Y_test=exp_Y[:4],
+    )
+    p0 = params
+    params, opt_states, replay, m = epoch(
+        params, opt_states, replay, KEY, jnp.asarray(True)
+    )
+    for v in m:
+        assert bool(jnp.isfinite(v)), m
+    assert float(m.cost_test_loss) > 0.0  # held-out metric real, not padded
+    for comp in ("dynamics_params", "cost_params"):
+        moved = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.abs(a - b).max()), p0[comp], params[comp]
+        )
+        assert max(jax.tree_util.tree_leaves(moved)) > 0.0, comp
