@@ -21,4 +21,12 @@ def make_env(name: str):
         from gan_mpc_tpu.envs.walker import WalkerWalk
 
         return WalkerWalk()
+    if name == "humanoid_stand":
+        from gan_mpc_tpu.envs.humanoid import HumanoidStand
+
+        return HumanoidStand()
+    if name == "humanoid_walk":
+        from gan_mpc_tpu.envs.humanoid import HumanoidWalk
+
+        return HumanoidWalk()
     raise ValueError(f"unknown environment {name!r}")

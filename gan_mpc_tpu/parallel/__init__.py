@@ -1,5 +1,7 @@
 from gan_mpc_tpu.parallel.mesh import (  # noqa: F401
     batch_sharding,
+    data_axes,
+    make_hybrid_mesh,
     make_mesh,
     replicate,
     shard_batch,

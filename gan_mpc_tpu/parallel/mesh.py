@@ -31,6 +31,41 @@ def make_mesh(
     return Mesh(dev_array, axis_names)
 
 
+def make_hybrid_mesh(
+    axis_names: Sequence[str] = ("dcn", "ici"),
+    dcn_size: Optional[int] = None,
+) -> Mesh:
+    """2-D multi-host mesh: slow axis ("dcn") crosses hosts/slices, fast
+    axis ("ici") stays within one host's chips, so that gradient
+    reductions hierarchy-reduce — intra-slice traffic rides the ICI and
+    only the slice-level partial crosses the data-center network (SURVEY
+    §5 comm row: "ICI within a slice and DCN across slices").
+
+    Under ``jax.distributed`` the dcn axis defaults to ``process_count()``
+    and devices are grouped so each mesh row is one process's local chips.
+    Single-process (tests), pass ``dcn_size`` to split the virtual devices
+    into fake slices.
+    """
+    devices = jax.devices()
+    dcn = dcn_size or max(jax.process_count(), 1)
+    if len(devices) % dcn != 0:
+        raise ValueError(
+            f"{len(devices)} devices not divisible into {dcn} slices"
+        )
+    # group by owning process so rows = slices; stable order within a row
+    devs = sorted(devices, key=lambda d: (d.process_index, d.id))
+    dev_array = np.asarray(devs).reshape(dcn, -1)
+    return Mesh(dev_array, tuple(axis_names))
+
+
+def data_axes(mesh: Mesh):
+    """The mesh axes a data batch shards over: all of ("dcn", "ici") that
+    exist, else the 1-D "dp" axis. Usable directly as the ``axis``
+    argument of every sharded step (P() and pmean both accept tuples)."""
+    names = tuple(a for a in ("dcn", "ici") if a in mesh.axis_names)
+    return names if names else "dp"
+
+
 def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -71,7 +71,73 @@ def scripted_expert(env):
 
         return policy
 
+    if env.name in ("humanoid_stand", "humanoid_walk"):
+        gains = jnp.asarray(_HUMANOID_STAND_GAINS)
+
+        def policy(params, history_x, history_u):
+            del params, history_u
+            return humanoid_balance_policy(gains, history_x[-1], env)
+
+        return policy
+
     raise ValueError(f"no scripted expert for env {env.name!r}")
+
+
+# Stand-balance feedback gains found by CEM over the differentiable
+# engine (scripts/tune_humanoid_expert.py):
+#   kp, kd, ank_e, ank_edot, hip_trunk_p, hip_trunk_d, waist_p, waist_d,
+#   hip_e
+_HUMANOID_STAND_GAINS = (
+    0.45, 0.0032, -23.6043, 0.7678, 0.5925, 0.4468, -3.954, -0.4946,
+    -0.8379,
+)
+
+# nominal stance: slight knee bend keeps the knees off their range
+# boundary (range [-2, 0]); hips/ankles compensate to stay tall.
+_HUMANOID_POSE = (
+    0.0, 0.0, 0.08, -0.16, 0.08, 0.08, -0.16, 0.08, 0.0, 0.0, 0.0, 0.0
+)
+
+
+def humanoid_balance_policy(g, obs, env=None):
+    """COM-over-feet balance controller for the planar humanoid.
+
+    Two feedback loops on top of a nominal-pose PD: (1) ankle + hip
+    torque regulates the horizontal offset of the whole-body center of
+    mass from the foot support center — computed exactly via the engine's
+    own forward kinematics from the observation (invariant to root x,
+    which the observation omits); (2) hip + waist torque regulates the
+    trunk's absolute pitch. Gains from CEM (scripts/tune_humanoid_expert).
+    """
+    if env is None:
+        from gan_mpc_tpu.envs.humanoid import HumanoidStand
+
+        env = HumanoidStand()
+    from gan_mpc_tpu.envs.planar import contact_points, forward_kinematics
+
+    model = env._model(env.default_params())
+
+    def com_minus_feet(q):
+        _, _, coms = forward_kinematics(model, q)
+        com_x = jnp.sum(model.mass * coms[:, 0]) / jnp.sum(model.mass)
+        feet_x = jnp.mean(contact_points(model, q)[:4, 0])
+        return com_x - feet_x
+
+    q = jnp.concatenate([jnp.zeros(1, obs.dtype), obs[:14]])
+    qd = obs[14:29]
+    e, edot = jax.jvp(com_minus_feet, (q,), (qd,))
+
+    pitch, pitchd = obs[1], obs[16]
+    joints, jointsd = obs[2:14], obs[17:29]
+    trunk = pitch + joints[0]  # absolute torso angle
+    trunkd = pitchd + jointsd[0]
+    u = -g[0] * (joints - jnp.asarray(_HUMANOID_POSE)) - g[1] * jointsd
+    bal = g[2] * e + g[3] * edot
+    u = u.at[4].add(bal).at[7].add(bal)
+    hip = g[4] * trunk + g[5] * trunkd + g[8] * e
+    u = u.at[2].add(hip).at[5].add(hip)
+    u = u.at[0].add(g[6] * trunk + g[7] * trunkd)
+    return jnp.clip(u, -1.0, 1.0)
 
 
 # Open-loop CPG gait for cheetah_run, found by on-device evolution search

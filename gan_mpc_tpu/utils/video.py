@@ -149,11 +149,56 @@ def render_walker(qpos: np.ndarray) -> np.ndarray:
     return np.stack(frames)
 
 
+def render_humanoid(qpos: np.ndarray) -> np.ndarray:
+    """qpos (T, 15); 13-link humanoid skeleton via forward kinematics.
+    Torso/head extend up (+z local), limbs down; feet accented."""
+    import jax
+    import jax.numpy as jnp
+
+    from gan_mpc_tpu.envs.humanoid import _LENGTHS, HumanoidStand
+    from gan_mpc_tpu.envs.planar import forward_kinematics
+
+    env = HumanoidStand()
+    model = env._model(env.default_params())
+    fk = jax.jit(lambda q: forward_kinematics(model, q)[:2])
+    up_bodies = {1, 2}  # torso, head
+    frames = []
+    for q in qpos:
+        angles, origins = (np.asarray(a) for a in fk(jnp.asarray(q)))
+        img, d = _canvas()
+        gy = _H * 0.85
+        d.line([(0, gy), (_W, gy)], fill=(150, 150, 160), width=2)
+        cx = q[0]
+        for b in range(len(_LENGTHS)):
+            a, start, ln = angles[b], origins[b], float(_LENGTHS[b])
+            if b == 0:  # pelvis straddles its origin
+                lo = start - 0.1 * np.array([-np.sin(a), np.cos(a)])
+                hi = start + 0.1 * np.array([-np.sin(a), np.cos(a)])
+            elif b in up_bodies:
+                lo, hi = start, start + ln * np.array([-np.sin(a), np.cos(a)])
+            else:
+                lo, hi = start, start + ln * np.array([np.sin(a), -np.cos(a)])
+            x1, y1 = _to_px(lo[0], lo[1], cx, gy)
+            x2, y2 = _to_px(hi[0], hi[1], cx, gy)
+            color = _ACCENT if b in (5, 8) else _FG
+            width = 6 if b in (0, 1) else 4
+            d.line([(x1, y1), (x2, y2)], fill=color, width=width)
+        # head bob
+        hx, hy = _to_px(*(origins[2] + 0.25 * np.array(
+            [-np.sin(angles[2]), np.cos(angles[2])]
+        )), cx, gy)
+        d.ellipse([hx - 7, hy - 7, hx + 7, hy + 7], fill=_FG)
+        frames.append(np.asarray(img))
+    return np.stack(frames)
+
+
 _RENDERERS = {
     "pendulum_swingup": render_pendulum,
     "cartpole_balance": render_cartpole,
     "cheetah_run": render_cheetah,
     "walker_walk": render_walker,
+    "humanoid_stand": render_humanoid,
+    "humanoid_walk": render_humanoid,
 }
 
 

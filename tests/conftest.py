@@ -21,3 +21,11 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+# Persistent XLA compilation cache: the suite is compile-bound (dozens of
+# distinct jitted programs); repeat runs load them from disk instead.
+from gan_mpc_tpu import runtime_setup  # noqa: E402
+
+runtime_setup.setup(
+    os.path.expanduser("~/.cache/gan_mpc_tpu/xla-tests")
+)
