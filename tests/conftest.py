@@ -29,3 +29,4 @@ from gan_mpc_tpu import runtime_setup  # noqa: E402
 runtime_setup.setup(
     os.path.expanduser("~/.cache/gan_mpc_tpu/xla-tests")
 )
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
