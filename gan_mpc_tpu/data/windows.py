@@ -44,14 +44,33 @@ def cost_windows(
 
 
 def sequence_windows(
-    states: jax.Array, actions: jax.Array, seqlen: int
+    states: jax.Array,
+    actions: jax.Array,
+    seqlen: int,
+    start_oversample: int = 0,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """(xseq, useq, next_xseq) windows from (N, L, ·) trajectories —
-    the dynamics/expert dataset schema (``data_loader.py:102-129``)."""
+    the dynamics/expert dataset schema (``data_loader.py:102-129``).
+
+    ``start_oversample > 0`` repeats each trajectory's first
+    ``seqlen`` windows that many extra times. Episodes begin at REST
+    (reset states, zero velocity) and the behavior there — e.g. the
+    pendulum expert initiating energy pumping from hanging rest — is
+    otherwise covered by ~seqlen of ~length windows (<1%), leaving the
+    expert predictor out-of-distribution exactly where closed-loop
+    rollouts start. (Measured on pendulum: rest-start returns 0 without
+    it; the true-dynamics planner probe isolated goal generation as the
+    cause.)"""
     n, length, x_size = states.shape
     u_size = actions.shape[-1]
     num = length - seqlen
     idx = _window_indices(num, seqlen)
+    if start_oversample > 0:
+        early = idx[: min(seqlen, num)]
+        idx = jnp.concatenate(
+            [idx] + [early] * start_oversample, axis=0
+        )
+        num = idx.shape[0]
     X = states[:, idx].reshape(n * num, seqlen, x_size)
     U = actions[:, idx].reshape(n * num, seqlen, u_size)
     Y = states[:, idx + 1].reshape(n * num, seqlen, x_size)

@@ -48,7 +48,15 @@ def run(config: Config, log_fn=print):
     tcfg = config.expert_prediction.train
     states = normalizer.normalize_state(jnp.asarray(trajs.states))
     actions = normalizer.normalize_action(jnp.asarray(trajs.actions))
-    windows = sequence_windows(states, actions, tcfg.seqlen)
+    # rest-start oversampling: closed-loop rollouts begin at reset states
+    # (zero velocity), which plain sliding windows cover at <1%; see
+    # data/windows.py sequence_windows.
+    windows = sequence_windows(
+        states,
+        actions,
+        tcfg.seqlen,
+        start_oversample=tcfg.get_path("start_oversample", 20),
+    )
     key, k_split, k_train, k_eval = jax.random.split(key, 4)
     train_data, test_data = shuffle_and_split(windows, k_split)
 

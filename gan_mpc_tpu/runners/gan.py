@@ -113,7 +113,10 @@ def _run_fused_epochs(
         if every and epoch % every == 0:
             key, k_mid = jax.random.split(key)
             ctx["params"] = params
-            mid = l2_runner.evaluate(config, ctx, k_mid, num_runs=1)
+            mid = l2_runner.evaluate(
+                config, ctx, k_mid,
+                num_runs=config.get_path("mpc.evaluate.midrun_episodes", 3),
+            )
             metrics.record(epoch, eval_reward=mid)
             common.record_solver_stats(
                 metrics, ctx["policy"], params, cost_test, epoch
@@ -289,7 +292,10 @@ def run(config: Config, log_fn=print):
         if every and epoch % every == 0:
             key, k_mid = jax.random.split(key)
             ctx["params"] = params
-            mid = l2_runner.evaluate(config, ctx, k_mid, num_runs=1)
+            mid = l2_runner.evaluate(
+                config, ctx, k_mid,
+                num_runs=config.get_path("mpc.evaluate.midrun_episodes", 3),
+            )
             metrics.record(epoch, eval_reward=mid)
             common.record_solver_stats(
                 metrics, policy, params, cost_test, epoch

@@ -255,7 +255,10 @@ def _run_fused_epochs(
         if every and epoch % every == 0:
             key, k_mid = jax.random.split(key)
             ctx["params"] = params
-            mid = evaluate(config, ctx, k_mid, num_runs=1)
+            mid = evaluate(
+                config, ctx, k_mid,
+                num_runs=config.get_path("mpc.evaluate.midrun_episodes", 3),
+            )
             metrics.record(epoch, eval_reward=mid)
             common.record_solver_stats(
                 metrics, ctx["policy"], params, cost_test, epoch
@@ -401,7 +404,10 @@ def run(config: Config, log_fn=print):
         if every and epoch % every == 0:
             key, k_mid = jax.random.split(key)
             ctx["params"] = params
-            mid = evaluate(config, ctx, k_mid, num_runs=1)
+            mid = evaluate(
+                config, ctx, k_mid,
+                num_runs=config.get_path("mpc.evaluate.midrun_episodes", 3),
+            )
             metrics.record(epoch, eval_reward=mid)
             common.record_solver_stats(
                 metrics, policy, params, ctx["cost_data"][1], epoch

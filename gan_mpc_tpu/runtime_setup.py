@@ -19,6 +19,18 @@ def setup(cache_dir: str | None = None) -> None:
     if _DONE:
         return
     _DONE = True
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        backend = "unknown"
+    # jaxlib 0.9's CPU executable (de)serialization segfaults
+    # intermittently (observed in compilation_cache get/put on this
+    # image), so the persistent cache is enabled only for accelerator
+    # backends unless explicitly forced.
+    if backend == "cpu" and not os.environ.get(
+        "GAN_MPC_TPU_FORCE_COMPILE_CACHE"
+    ):
+        return
     cache_dir = cache_dir or os.environ.get(
         "GAN_MPC_TPU_COMPILE_CACHE",
         os.path.expanduser("~/.cache/gan_mpc_tpu/xla"),

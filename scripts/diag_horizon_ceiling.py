@@ -34,14 +34,15 @@ def true_dynamics_obs(env, env_params):
         del t
         cos_th, sin_th, thd = x[0], x[1], x[2]
         th = jnp.arctan2(sin_th, cos_th)
-        m, length = env_params.body_mass_pole, env_params.geom_size_pole
-        inertia = m * length**2 / 3.0
+        m, r = env_params.body_mass_pole, env_params.geom_size_pole
+        inertia = env.inertia(env_params)
         torque = (
             env_params.torque_gain * jnp.clip(u[0], -1.0, 1.0)
-            + m * env_params.gravity * (length / 2.0) * jnp.sin(th)
-            - env_params.damping * thd
+            + m * env_params.gravity * r * jnp.sin(th)
         )
-        thd_n = thd + env.dt * torque / inertia
+        thd_n = (thd + env.dt * torque / inertia) / (
+            1.0 + env.dt * env_params.damping / inertia
+        )
         th_n = th + env.dt * thd_n
         return jnp.array([jnp.cos(th_n), jnp.sin(th_n), thd_n])
 

@@ -1,0 +1,95 @@
+"""Evaluate a saved imitator run: many-episode pure-JAX eval + real
+dm_control cross-eval.
+
+Usage: python scripts/eval_saved_imitator.py <config.yaml> <run_dir>
+       [num_episodes=16] [dm_episodes=5]
+
+Loads params.msgpack from the run dir, rebuilds the policy from the
+config (the same factories the runners use), and reports mean/median/
+per-episode returns on the pure-JAX imitator env and inside the actual
+dm_control suite task.
+"""
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from gan_mpc_tpu.config import Config
+from gan_mpc_tpu.envs import make_env
+from gan_mpc_tpu.envs.rollout import policy_rollout
+from gan_mpc_tpu.runners import common
+from gan_mpc_tpu.utils import io
+
+
+def main():
+    cfg_path, run_dir = sys.argv[1], sys.argv[2]
+    n_ep = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+    n_dm = int(sys.argv[4]) if len(sys.argv) > 4 else 5
+    config = Config.from_yaml(cfg_path)
+
+    env = make_env(config.env.name)
+    trajs = common.ensure_trajectories(config)
+    normalizer = common.build_normalizer(config, trajs)
+    try:  # GAN runs carry critic_params; L2 runs do not
+        policy, template = common.build_policy(
+            config, env.obs_size, env.act_size, with_critic=True
+        )
+        params = io.load_params(template, run_dir + "/params.msgpack")
+    except Exception:
+        policy, template = common.build_policy(
+            config, env.obs_size, env.act_size
+        )
+        params = io.load_params(template, run_dir + "/params.msgpack")
+
+    env_im, env_im_params = common.imitator_env(config)
+    ep = jax.jit(
+        lambda key: policy_rollout(
+            env_im,
+            env_im_params,
+            policy,
+            params,
+            normalizer,
+            key,
+            num_steps=config.mpc.evaluate.max_interactions,
+            history=config.mpc.history,
+            num_envs=n_ep,
+        )
+    )(jax.random.PRNGKey(123))
+    rets = np.asarray(jnp.sum(ep.rewards, axis=-1))
+    print(f"pure-JAX ({config.env.name}, {n_ep} eps): "
+          f"mean {rets.mean():.1f} median {np.median(rets):.1f}")
+    print("  per-episode:", np.sort(rets).round(1))
+
+    if n_dm > 0:
+        from gan_mpc_tpu.envs.dm_eval import (
+            dm_control_available,
+            evaluate_in_dm_control,
+        )
+
+        if not dm_control_available():
+            print("dm_control not available; skipping cross-eval")
+            return
+        act = jax.jit(policy.act)
+
+        def policy_fn(p, hx, hu):
+            return act(p, hx, hu)
+
+        mean_ret, per = evaluate_in_dm_control(
+            config.env.name,
+            policy_fn,
+            params,
+            normalizer,
+            history=config.mpc.history,
+            num_episodes=n_dm,
+            max_steps=config.mpc.evaluate.max_interactions,
+        )
+        print(f"dm_control ({n_dm} eps): mean {mean_ret:.1f}")
+        print("  per-episode:", np.round(sorted(per), 1))
+
+
+if __name__ == "__main__":
+    main()

@@ -22,11 +22,16 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
-# Persistent XLA compilation cache: the suite is compile-bound (dozens of
-# distinct jitted programs); repeat runs load them from disk instead.
-from gan_mpc_tpu import runtime_setup  # noqa: E402
+# Persistent XLA compile cache: ~2x faster warm suite runs, but jaxlib
+# 0.9's CPU executable (de)serialization segfaults intermittently
+# (observed in compilation_cache get/put on this image), so it is
+# OPT-IN: GAN_MPC_TPU_TEST_CACHE=1 python -m pytest tests/
+# (runtime_setup.setup is likewise CPU-gated for the runner CLIs).
+if os.environ.get("GAN_MPC_TPU_TEST_CACHE"):
+    os.environ["GAN_MPC_TPU_FORCE_COMPILE_CACHE"] = "1"
+    from gan_mpc_tpu import runtime_setup
 
-runtime_setup.setup(
-    os.path.expanduser("~/.cache/gan_mpc_tpu/xla-tests")
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+    runtime_setup.setup(
+        os.path.expanduser("~/.cache/gan_mpc_tpu/xla-tests")
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)

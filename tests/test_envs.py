@@ -48,9 +48,9 @@ def test_pendulum_energy_conservation_without_damping_or_torque():
 
     def energy(s):
         th, thd = s.qpos[0], s.qvel[0]
-        inertia = p.body_mass_pole * p.geom_size_pole**2 / 3.0
-        # potential zero at the bottom (th = pi)
-        h = (p.geom_size_pole / 2.0) * (1.0 + jnp.cos(th))
+        inertia = env.inertia(p)
+        # potential zero at the bottom (th = pi); COM at distance r
+        h = p.geom_size_pole * (1.0 + jnp.cos(th))
         return 0.5 * inertia * thd**2 + p.body_mass_pole * p.gravity * h
 
     e0 = float(energy(state))
@@ -109,7 +109,7 @@ def test_physics_shift_named_multipliers():
     p = env.default_params()
     p2 = apply_physics_shift(p, [{"key": "body_mass_pole", "value": 2.0}])
     np.testing.assert_allclose(float(p2.body_mass_pole), 2.0)
-    np.testing.assert_allclose(float(p2.geom_size_pole), 1.0)
+    np.testing.assert_allclose(float(p2.geom_size_pole), 0.5)
     with pytest.raises(ValueError):
         apply_physics_shift(p, [{"key": "body_mass_nonexistent", "value": 2}])
     with pytest.raises(ValueError):

@@ -74,6 +74,38 @@ def test_ilqr_with_associative_riccati_solves_lqr():
 
 
 def test_long_horizon_nonlinear_converges():
+    """Run in a SUBPROCESS: compiling this H=100 associative-scan program
+    after the ~116 programs the full suite has already compiled crashes
+    XLA:CPU's backend_compile (fresh-process compilation is fine —
+    verified standalone and in both suite halves). Process isolation
+    keeps the check while dodging the compiler-state bug."""
+    import os
+    import subprocess
+    import sys
+
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu');"
+        "from tests.test_parallel_riccati import _long_horizon_check;"
+        "_long_horizon_check(); print('LONGH_OK')"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        capture_output=True,
+        timeout=600,
+        text=True,
+    )
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    assert "LONGH_OK" in out.stdout
+
+
+def _long_horizon_check():
     T = 100
 
     def dyn(x, u, t):
