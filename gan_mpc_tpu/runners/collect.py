@@ -209,6 +209,7 @@ def collect_expert_trajectories(
     num_steps: int = 1000,
     env_params=None,
     noise_sigma: float = 0.25,
+    reset_velocity_sigma: float = 0.0,
 ) -> TrajectorySet:
     """Batched on-device rollout of the scripted expert.
 
@@ -233,8 +234,19 @@ def collect_expert_trajectories(
     policy = scripted_expert(env)
 
     def one(k):
-        k_reset, k_noise = jax.random.split(k)
+        k_reset, k_vel, k_noise = jax.random.split(k, 3)
         s0 = env.reset(env_params, k_reset)
+        if reset_velocity_sigma > 0.0:
+            # start some episodes mid-motion: the scripted experts are
+            # universal controllers, so this records corrective behavior
+            # at off-manifold phases (e.g. slow oscillation through the
+            # pendulum's bottom) that pure rest starts never visit —
+            # exactly where closed-loop imitators otherwise get stuck.
+            s0 = s0.replace(
+                qvel=s0.qvel
+                + reset_velocity_sigma
+                * jax.random.normal(k_vel, s0.qvel.shape)
+            )
 
         def body(s, kk):
             obs = env.observe(env_params, s)

@@ -197,6 +197,9 @@ def ensure_trajectories(config: Config) -> TrajectorySet:
             jax.random.PRNGKey(config.seed + 7),
             num_steps=config.get_path("env.expert_episode_steps", 1000),
             noise_sigma=config.get_path("env.expert_noise", 0.25),
+            reset_velocity_sigma=config.get_path(
+                "env.expert_reset_velocity", 0.0
+            ),
         )
         save_trajectories(path, trajs)
     return load_trajectories(

@@ -100,3 +100,41 @@ def test_trajectory_io_and_filtering(tmp_path):
         assert out.states.shape == (2, 10, 3)
         np.testing.assert_allclose(out.states[0], states[2, :10], rtol=1e-6)
         np.testing.assert_allclose(out.states[1], states[0, :10], rtol=1e-6)
+
+
+def test_sequence_windows_start_oversample():
+    import jax.numpy as jnp
+
+    from gan_mpc_tpu.data.windows import sequence_windows
+
+    states = jnp.arange(2 * 12 * 1, dtype=jnp.float32).reshape(2, 12, 1)
+    actions = jnp.zeros((2, 12, 1))
+    X0, _, _ = sequence_windows(states, actions, seqlen=4)
+    X, _, Y = sequence_windows(states, actions, seqlen=4, start_oversample=3)
+    per_traj = 12 - 4
+    assert X0.shape[0] == 2 * per_traj
+    assert X.shape[0] == 2 * (per_traj + 3 * 4)
+    # the duplicated windows are the first `seqlen` windows of each traj
+    first = X.reshape(2, per_traj + 12, 4, 1)[0]
+    np.testing.assert_allclose(first[per_traj], first[0])
+    # next-state alignment preserved
+    np.testing.assert_allclose(
+        np.asarray(Y[0, :, 0]), np.asarray(X[0, :, 0]) + 1
+    )
+
+
+def test_collection_reset_velocity_covers_moving_starts():
+    from gan_mpc_tpu.envs import make_env
+    from gan_mpc_tpu.runners.collect import collect_expert_trajectories
+
+    env = make_env("pendulum_swingup")
+    ts = collect_expert_trajectories(
+        env,
+        4,
+        jax.random.PRNGKey(0),
+        num_steps=60,
+        reset_velocity_sigma=2.0,
+    )
+    # with sigma=2 at least one episode starts visibly mid-motion
+    assert np.abs(ts.states[:, 0, 2]).max() > 0.5
+    assert np.isfinite(ts.states).all()
