@@ -176,9 +176,19 @@ def build_normalizer(config: Config, trajs: TrajectorySet) -> Normalizer:
 
 def trajectories_path(config: Config) -> str:
     workdir = config.get_path("runtime.workdir", "runs")
-    return os.path.join(
-        workdir, "expert_trajectories", config.env.name, "trajectories.npz"
-    )
+    base = os.path.join(workdir, "expert_trajectories", config.env.name)
+    # prefer the native C++ binary store when its library is available
+    # (single-fwrite IO; data/native_store.py); .npz otherwise. An
+    # existing store of either format wins so runs stay resumable.
+    from gan_mpc_tpu.data import native_store
+
+    gmts = os.path.join(base, "trajectories.gmts")
+    npz = os.path.join(base, "trajectories.npz")
+    if os.path.exists(gmts):
+        return gmts
+    if os.path.exists(npz):
+        return npz
+    return gmts if native_store.available() else npz
 
 
 def ensure_trajectories(config: Config) -> TrajectorySet:
