@@ -12,9 +12,9 @@ Defaults: cheetah_run (the BASELINE target's "cheetah-class" task), 512
 parallel envs, iLQR capped at 5 warm-started iterations per control step
 (standard real-time-iteration MPC practice; the solver is
 convergence-gated at tol 1e-4 so most steps use fewer). Measured on one
-v5e chip: ~16.5k steps/s at <=5 iters (9.2k at <=10, 24.4k at <=3);
-pendulum-class: ~163k steps/s. Throughput scales ~linearly with the
-iteration cap — the regime is while_loop latency-bound, not FLOP-bound.
+v5e chip with the round-2 batch-native time-major solver: ~55.1k steps/s
+at <=5 iters (40.8k at <=10, 63.8k at <=3); pendulum-class ~175k
+steps/s (see BENCHMARKS.md).
 Override via BENCH_ENV / BENCH_NUM_ENVS / BENCH_ILQR_ITERS / BENCH_HORIZON.
 """
 
