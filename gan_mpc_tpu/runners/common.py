@@ -244,6 +244,17 @@ def imitator_model_dir(config: Config, family: str) -> str:
     )
 
 
+def maybe_clear_caches():
+    """Opt-in (GAN_MPC_TPU_CLEAR_CACHES=1) jax.clear_caches() between
+    training phases. The TPU worker on this stack crashes ("kernel
+    fault") once enough large distinct programs accumulate in one
+    process — every humanoid-scale phase runs fine in isolation but the
+    fourth consecutive one dies. Dropping executable references between
+    phases trades recompilation time for a bounded resource footprint."""
+    if os.environ.get("GAN_MPC_TPU_CLEAR_CACHES"):
+        jax.clear_caches()
+
+
 def record_solver_stats(metrics, policy, params, cost_test, epoch, n=32):
     """Plan on a small batch of held-out expert histories and record iLQR
     convergence diagnostics (iterations / converged fraction / objective)

@@ -230,6 +230,7 @@ def run(config: Config, log_fn=print):
             warm_start_updates=dcfg.get_path("warm_start_updates", 3),
             expert_updates=dcfg.get_path("expert_updates", 0),
         )
+        common.maybe_clear_caches()
         params, critic_opt_state, critic_losses, critic_tests = train_critic(
             policy,
             critic_opt,
@@ -240,7 +241,9 @@ def run(config: Config, log_fn=print):
             num_updates=qcfg.num_updates,
             batch_size=qcfg.batch_size,
             key=k_critic,
+            plan_batch=qcfg.get_path("plan_batch", 256),
         )
+        common.maybe_clear_caches()
         params, cost_opt_state, gen_losses, gen_tests = train_cost(
             policy,
             cost_opt,
@@ -255,7 +258,10 @@ def run(config: Config, log_fn=print):
             key=k_cost,
             has_targets=True,  # targets ignored by the GAN loss but keep
             # the same minibatch stream as the reference
+            eval_windows=ccfg.get_path("eval_windows", None),
+            max_steps_per_update=ccfg.get_path("steps_per_update", None),
         )
+        common.maybe_clear_caches()
         stack.close()
         history["dynamics_train_losses"] += dyn_losses
         history["critic_train_losses"] += critic_losses

@@ -372,6 +372,8 @@ def run(config: Config, log_fn=print):
                 batch_size=ccfg.batch_size,
                 polyak_factor=ccfg.polyak_factor,
                 key=k_cost,
+                eval_windows=ccfg.get_path("eval_windows", None),
+                max_steps_per_update=ccfg.get_path("steps_per_update", None),
             )
         history["dynamics_train_losses"] += dyn_losses
         history["cost_train_losses"] += cost_losses

@@ -51,14 +51,18 @@ def _update_scan(
 _MAX_EVAL_WINDOWS = 256
 
 
-def evaluate_cost_loss(policy, loss_fn, params, dataset, has_targets=True):
+def evaluate_cost_loss(
+    policy, loss_fn, params, dataset, has_targets=True, eval_windows=None
+):
     """Planning loss on a held-out set (no grads). Capped at
-    ``_MAX_EVAL_WINDOWS`` windows — each one is a full planner solve, and
-    the reference's evaluate-the-whole-test-set-each-update habit
-    (norm/cost_trainer.py:44-48) dominates wall-clock at realistic
-    dataset sizes."""
-    X = dataset[0][:_MAX_EVAL_WINDOWS]
-    Y = dataset[1][:_MAX_EVAL_WINDOWS] if has_targets else None
+    ``eval_windows`` (default ``_MAX_EVAL_WINDOWS``) — each one is a full
+    planner solve; the reference's evaluate-the-whole-test-set-each-update
+    habit (norm/cost_trainer.py:44-48) dominates wall-clock at realistic
+    dataset sizes, and very large plan batches at long horizons exhaust
+    TPU scoped memory (worker kernel fault on the humanoid-scale config)."""
+    cap = _MAX_EVAL_WINDOWS if eval_windows is None else eval_windows
+    X = dataset[0][:cap]
+    Y = dataset[1][:cap] if has_targets else None
 
     def single(history_x, *args):
         zeros_u = jnp.zeros(
@@ -86,11 +90,18 @@ def train_cost(
     key: jax.Array,
     has_targets: bool = True,
     eval_test: bool = True,
+    eval_windows: int = None,
+    max_steps_per_update: int = None,
 ):
     """Returns (params, opt_state, train_losses, test_losses)."""
     prev_params = params
     datasize = train_data[0].shape[0]
     steps = max(datasize // batch_size, 1)
+    if max_steps_per_update is not None:
+        # one scanned program of `steps` bilevel solves; very long
+        # executions at humanoid scale trip the TPU runtime's watchdog
+        # (worker "kernel fault"), so configs can bound it.
+        steps = min(steps, max_steps_per_update)
     train_losses, test_losses = [], []
     for _ in range(num_updates):
         key, sub = jax.random.split(key)
@@ -109,7 +120,8 @@ def train_cost(
         if eval_test:
             test_losses.append(
                 evaluate_cost_loss(
-                    policy, loss_fn, params, test_data, has_targets
+                    policy, loss_fn, params, test_data, has_targets,
+                    eval_windows=eval_windows,
                 )
             )
     params = polyak_blend(prev_params, params, polyak_factor)

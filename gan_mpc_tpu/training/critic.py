@@ -85,15 +85,29 @@ def train_critic(
     num_updates: int,
     batch_size: int,
     key: jax.Array,
+    plan_batch: int = 256,
 ):
-    """Returns (params, opt_state, train_losses, test_losses)."""
-    key, k_train, k_test = jax.random.split(key, 3)
-    seqs, labels = build_critic_dataset(
-        policy, params, true_train_data[0], true_train_data[1], k_train
-    )
+    """Returns (params, opt_state, train_losses, test_losses).
+
+    ``plan_batch`` caps the batched-planning fan-out on both the train
+    and held-out dataset builds — each window is a full iLQR solve, and
+    very large plan batches at long horizons can exhaust TPU scoped
+    memory (observed as a worker kernel fault on the humanoid-scale
+    config); a fresh random subset is drawn per call."""
+    key, k_train, k_test, k_sub = jax.random.split(key, 4)
+    Xtr, Ytr = true_train_data[0], true_train_data[1]
+    if Xtr.shape[0] > plan_batch:
+        idx = jax.random.choice(
+            k_sub, Xtr.shape[0], shape=(plan_batch,), replace=False
+        )
+        Xtr, Ytr = Xtr[idx], Ytr[idx]
+    seqs, labels = build_critic_dataset(policy, params, Xtr, Ytr, k_train)
     # cap the held-out planning fan-out (each window is a full solve)
     test_seqs, test_labels = build_critic_dataset(
-        policy, params, true_test_data[0][:256], true_test_data[1][:256],
+        policy,
+        params,
+        true_test_data[0][:plan_batch],
+        true_test_data[1][:plan_batch],
         k_test,
     )
     datasize = seqs.shape[0]
