@@ -46,6 +46,9 @@ def main():
         params = io.load_params(template, run_dir + "/params.msgpack")
 
     env_im, env_im_params = common.imitator_env(config)
+    if n_ep <= 0:
+        _dm_eval(config, policy, params, normalizer, n_dm)
+        return
     ep = jax.jit(
         lambda key: policy_rollout(
             env_im,
@@ -65,30 +68,34 @@ def main():
     print("  per-episode:", np.sort(rets).round(1))
 
     if n_dm > 0:
-        from gan_mpc_tpu.envs.dm_eval import (
-            dm_control_available,
-            evaluate_in_dm_control,
-        )
+        _dm_eval(config, policy, params, normalizer, n_dm)
 
-        if not dm_control_available():
-            print("dm_control not available; skipping cross-eval")
-            return
-        act = jax.jit(policy.act)
 
-        def policy_fn(p, hx, hu):
-            return act(p, hx, hu)
+def _dm_eval(config, policy, params, normalizer, n_dm):
+    from gan_mpc_tpu.envs.dm_eval import (
+        dm_control_available,
+        evaluate_in_dm_control,
+    )
 
-        mean_ret, per = evaluate_in_dm_control(
-            config.env.name,
-            policy_fn,
-            params,
-            normalizer,
-            history=config.mpc.history,
-            num_episodes=n_dm,
-            max_steps=config.mpc.evaluate.max_interactions,
-        )
-        print(f"dm_control ({n_dm} eps): mean {mean_ret:.1f}")
-        print("  per-episode:", np.round(sorted(per), 1))
+    if not dm_control_available():
+        print("dm_control not available; skipping cross-eval")
+        return
+    act = jax.jit(policy.act)
+
+    def policy_fn(p, hx, hu):
+        return act(p, hx, hu)
+
+    mean_ret, per = evaluate_in_dm_control(
+        config.env.name,
+        policy_fn,
+        params,
+        normalizer,
+        history=config.mpc.history,
+        num_episodes=n_dm,
+        max_steps=config.mpc.evaluate.max_interactions,
+    )
+    print(f"dm_control ({n_dm} eps): mean {mean_ret:.1f}")
+    print("  per-episode:", np.round(sorted(per), 1))
 
 
 if __name__ == "__main__":
