@@ -77,6 +77,58 @@ def sequence_windows(
     return X, U, Y
 
 
+def split_sequence_windows(
+    states: jax.Array,
+    actions: jax.Array,
+    seqlen: int,
+    key: jax.Array,
+    start_oversample: int = 0,
+    train_frac: float = 0.8,
+):
+    """Train/test split of sequence windows with rest-start oversampling
+    applied ONLY to the train split.
+
+    Splitting must happen before oversampling: duplicating windows first
+    puts identical copies on both sides of the split, contaminating the
+    held-out loss (and any model selection based on it). Here the base
+    windows are shuffle-split at the index level, and the train side then
+    gains ``start_oversample`` extra copies of its own early (episode
+    start) windows — the test split stays disjoint from everything
+    trained on. Returns ``(train, test)`` tuples of (xseq, useq,
+    next_xseq)."""
+    n, length, x_size = states.shape
+    u_size = actions.shape[-1]
+    num = length - seqlen
+    idx = _window_indices(num, seqlen)  # (num, seqlen), per-trajectory
+
+    flat = jnp.arange(n * num)
+    perm = jax.random.permutation(key, n * num)
+    cut = int(n * num * train_frac)
+    train_ids, test_ids = perm[:cut], perm[cut:]
+    if start_oversample > 0:
+        # early window = one of the first `seqlen` windows of its
+        # trajectory (window start position < seqlen)
+        starts = flat % num
+        early_train = train_ids[starts[train_ids] < min(seqlen, num)]
+        train_ids = jnp.concatenate(
+            [train_ids] + [early_train] * start_oversample
+        )
+
+    def gather(ids):
+        traj, w = ids // num, ids % num
+        widx = idx[w]  # (k, seqlen)
+        X = states[traj[:, None], widx]
+        U = actions[traj[:, None], widx]
+        Y = states[traj[:, None], widx + 1]
+        return (
+            X.reshape(-1, seqlen, x_size),
+            U.reshape(-1, seqlen, u_size),
+            Y.reshape(-1, seqlen, x_size),
+        )
+
+    return gather(train_ids), gather(test_ids)
+
+
 def shuffle_and_split(dataset: tuple, key: jax.Array, train_frac: float = 0.8):
     """Random shuffle + train/test split (``data_loader.py:60-68``)."""
     size = dataset[0].shape[0]

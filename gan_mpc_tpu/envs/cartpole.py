@@ -5,8 +5,9 @@ Present in the reference configs
 reproduce the MuJoCo ``cartpole.xml`` model (verified against dm_control
 in tests/test_dm_parity.py): cart mass 1 sliding on x, pole mass 0.1
 with COM at r = 0.5 from the hinge and 0.00942459 inertia about its COM,
-slide gear 10, joint dampings (5e-4, 2e-6) integrated IMPLICITLY
-(MuJoCo's Euler integrator), dt = 0.01, 1000-step episodes (the suite's
+slide gear 10, joint dampings (5e-4, 2e-6) applied EXPLICITLY inside
+each RK4 stage (implicit damping is an Euler-integrator feature; see
+the pendulum env), dt = 0.01, 1000-step episodes (the suite's
 10-second limit). Observation [cart_x, cos th, sin th, cart_xd, th_d];
 th = 0 is upright. Task protocol matches ``cartpole.Balance``: dense
 shaped reward (upright x centered x small-control x small-velocity) and

@@ -19,9 +19,13 @@ _SUITE_NAMES = {
     "cartpole_balance": ("cartpole", "balance"),
     "cheetah_run": ("cheetah", "run"),
     "walker_walk": ("walker", "walk"),
-    "humanoid_stand": ("humanoid", "stand"),
-    "humanoid_walk": ("humanoid", "walk"),
 }
+
+# The repo's humanoid is PLANAR (13 links, 29-dim obs); dm_control's
+# humanoid is 3-D with a 67-dim observation in a different layout — a
+# cross-eval would crash on normalizer shapes or produce meaningless
+# numbers, so these names are explicitly unsupported.
+_NO_COUNTERPART = {"humanoid_stand", "humanoid_walk"}
 
 
 def dm_control_available() -> bool:
@@ -31,6 +35,36 @@ def dm_control_available() -> bool:
         return True
     except Exception:
         return False
+
+
+def has_dm_counterpart(env_name: str) -> bool:
+    """True when the env maps onto a real dm_control suite task (the
+    planar humanoid does not; see _NO_COUNTERPART)."""
+    return env_name in _SUITE_NAMES
+
+
+def apply_suite_physics_shift(env, shifts) -> None:
+    """Mutate a loaded dm_control env's MuJoCo model in place with the
+    same multiplier schema as the pure-JAX envs' ``apply_physics_shift``
+    — the reference's imitator domain-shift mechanism
+    (``/root/reference/utils.py:43-62``): ``body_mass_<name>`` /
+    ``geom_size_<name>`` / ``jnt_stiffness_<name>`` multiply the named
+    model entry."""
+    import re
+
+    for kv in shifts or []:
+        key, value = kv["key"], float(kv["value"])
+        for pattern, field in (
+            ("^body_mass_(.*)$", "body_mass"),
+            ("^geom_size_(.*)$", "geom_size"),
+            ("^jnt_stiffness_(.*)$", "jnt_stiffness"),
+        ):
+            m = re.search(pattern, key)
+            if m:
+                getattr(env.physics.named.model, field)[m.group(1)] *= value
+                break
+        else:
+            raise ValueError(f"unsupported physics-shift key {key!r}")
 
 
 def flatten_observation(obs_dict) -> np.ndarray:
@@ -52,23 +86,35 @@ def evaluate_in_dm_control(
     num_episodes: int = 3,
     max_steps: int = 1000,
     seed: int = 0,
+    physics_shifts=None,
 ):
     """Roll ``policy_fn(params, history_x, history_u) -> action`` in the
     dm_control suite task; returns (mean_return, per_episode_returns).
 
     ``policy_fn`` sees NORMALIZED observations and emits raw actions, the
     same contract as the pure-JAX rollouts (envs/rollout.py), so a policy
-    trained in this framework drops in unchanged.
+    trained in this framework drops in unchanged. ``physics_shifts``
+    applies the imitator domain shift to the SUITE env too, so the
+    cross-eval measures the same (shifted) task the policy was trained
+    for — exactly the reference's protocol
+    (``/root/reference/norm/runner.py:240-247`` evaluates in
+    ``get_dm_imitator_env``).
     """
     import jax.numpy as jnp
     from dm_control import suite
 
+    if env_name in _NO_COUNTERPART:
+        raise ValueError(
+            f"{env_name}: no dm_control counterpart — the repo's humanoid "
+            "is planar (29-dim obs); the suite humanoid is 3-D (67-dim)."
+        )
     domain, task = _SUITE_NAMES[env_name]
     returns = []
     for ep in range(num_episodes):
         env = suite.load(
             domain, task, task_kwargs={"random": seed + ep}
         )
+        apply_suite_physics_shift(env, physics_shifts)
         ts = env.reset()
         obs = flatten_observation(ts.observation)
         hx = [normalizer.normalize_state(jnp.asarray(obs, jnp.float32))] * (

@@ -174,6 +174,29 @@ def build_normalizer(config: Config, trajs: TrajectorySet) -> Normalizer:
     )
 
 
+def collection_fingerprint(config: Config) -> str:
+    """Short hash of everything that determines the collected data: env
+    physics constants (the env's default_params leaves — any physics
+    change moves this) plus the collection knobs (episode length, noise,
+    reset-velocity randomization, count, seed). A cached store collected
+    under different physics or knobs would otherwise be silently reused
+    and poison training."""
+    import hashlib
+
+    env = make_env(config.env.name)
+    leaves = jax.tree_util.tree_leaves(env.default_params())
+    payload = [config.env.name]
+    payload += [f"{float(v):.9g}" for v in leaves]
+    payload += [
+        str(config.get_path("env.expert_episode_steps", 1000)),
+        str(config.get_path("env.expert_noise", 0.25)),
+        str(config.get_path("env.expert_reset_velocity", 0.0)),
+        str(max(config.mpc.train.num_trajectories, 4)),
+        str(config.seed + 7),
+    ]
+    return hashlib.sha256("|".join(payload).encode()).hexdigest()[:10]
+
+
 def trajectories_path(config: Config) -> str:
     workdir = config.get_path("runtime.workdir", "runs")
     base = os.path.join(workdir, "expert_trajectories", config.env.name)
@@ -182,12 +205,23 @@ def trajectories_path(config: Config) -> str:
     # existing store of either format wins so runs stay resumable.
     from gan_mpc_tpu.data import native_store
 
-    gmts = os.path.join(base, "trajectories.gmts")
-    npz = os.path.join(base, "trajectories.npz")
+    fp = collection_fingerprint(config)
+    gmts = os.path.join(base, f"trajectories-{fp}.gmts")
+    npz = os.path.join(base, f"trajectories-{fp}.npz")
     if os.path.exists(gmts):
         return gmts
     if os.path.exists(npz):
         return npz
+    # an unfingerprinted legacy store means the cache predates this
+    # check: its physics/collection provenance is unknown — recollect.
+    for legacy in ("trajectories.gmts", "trajectories.npz"):
+        if os.path.exists(os.path.join(base, legacy)):
+            print(
+                f"[trajectories] ignoring legacy unfingerprinted store "
+                f"{os.path.join(base, legacy)}; recollecting as "
+                f"trajectories-{fp}.*"
+            )
+            break
     return gmts if native_store.available() else npz
 
 

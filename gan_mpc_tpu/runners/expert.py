@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import optax
 
 from gan_mpc_tpu.config import Config
-from gan_mpc_tpu.data.windows import sequence_windows, shuffle_and_split
+from gan_mpc_tpu.data.windows import split_sequence_windows
 from gan_mpc_tpu.envs.rollout import average_return
 from gan_mpc_tpu.runners import common
 from gan_mpc_tpu.training.expert import train_expert
@@ -49,16 +49,17 @@ def run(config: Config, log_fn=print):
     states = normalizer.normalize_state(jnp.asarray(trajs.states))
     actions = normalizer.normalize_action(jnp.asarray(trajs.actions))
     # rest-start oversampling: closed-loop rollouts begin at reset states
-    # (zero velocity), which plain sliding windows cover at <1%; see
-    # data/windows.py sequence_windows.
-    windows = sequence_windows(
+    # (zero velocity), which plain sliding windows cover at <1%. Split
+    # happens BEFORE oversampling so duplicated early windows never leak
+    # into the held-out split (see data/windows.py).
+    key, k_split, k_train, k_eval = jax.random.split(key, 4)
+    train_data, test_data = split_sequence_windows(
         states,
         actions,
         tcfg.seqlen,
+        k_split,
         start_oversample=tcfg.get_path("start_oversample", 20),
     )
-    key, k_split, k_train, k_eval = jax.random.split(key, 4)
-    train_data, test_data = shuffle_and_split(windows, k_split)
 
     model = common.build_expert_model(config, env.obs_size, env.act_size)
     params = model.init_params(key)

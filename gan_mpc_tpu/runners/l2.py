@@ -213,7 +213,29 @@ def _run_fused_epochs(
         expert_future_Y_test=cost_test[1],
         expert_dyn_windows=ctx["dyn_train"],
         expert_dyn_updates=dcfg.get_path("expert_updates", 0),
+        chunk_updates=config.get_path("runtime.fused_chunk_updates", 0),
+        plan_chunk=config.get_path("runtime.fused_plan_chunk", 0),
+        collect_noise=dcfg.get_path("collection_noise", 0.0),
     )
+    # epoch-1 dynamics warm start on the expert windows, as in the
+    # modular path (training/dynamics.py:136-150)
+    warm = dcfg.get_path("warm_start_updates", 3)
+    if start_epoch == 1 and warm > 0:
+        from gan_mpc_tpu.training.dynamics import _run_updates
+
+        key, sub = jax.random.split(key)
+        params, opt_states["dynamics"], _ = _run_updates(
+            ctx["policy"].dynamics_model,
+            opts["dynamics"],
+            params,
+            opt_states["dynamics"],
+            ctx["dyn_train"],
+            num_updates=warm,
+            batch_size=dcfg.batch_size,
+            gamma=dcfg.discount_factor,
+            teacher_forcing_factor=1.0,
+            key=sub,
+        )
     best_eval, best_params = float("-inf"), None
     every = config.get_path("mpc.evaluate.every_epochs", 0)
     for epoch in range(start_epoch, tcfg.num_epochs + 1):

@@ -19,6 +19,17 @@ def setup(cache_dir: str | None = None) -> None:
     if _DONE:
         return
     _DONE = True
+    # honor JAX_PLATFORMS even though this image's sitecustomize
+    # pre-imports jax with a TPU plugin (the env var alone is consumed
+    # too early there; jax.config still works until a backend
+    # initializes). `JAX_PLATFORMS=cpu python -m gan_mpc_tpu.runners...`
+    # must actually run on CPU.
+    requested = os.environ.get("JAX_PLATFORMS")
+    if requested:
+        try:
+            jax.config.update("jax_platforms", requested)
+        except Exception:
+            pass
     try:
         backend = jax.default_backend()
     except Exception:

@@ -16,6 +16,16 @@ goes the rest of the way — one ``jax.jit`` whose body is:
 
 Expert windows are closed over as device constants. The only host work
 per epoch is reading back the scalar losses.
+
+Chunked mode (``chunk_updates``): the TPU runtime kills workers whose
+single XLA program executes too long ("kernel fault" watchdog — hit at
+humanoid scale, H=50 fan-outs). Passing ``chunk_updates=N`` splits the
+epoch at phase boundaries AND slices every scanned-update phase into
+segments of at most N updates, each its own jitted program, with the
+epoch state threaded through on device (no host transfers beyond the
+program boundary itself). Segment programs are shape-stable, so each
+compiles once; numerics are IDENTICAL to the single-program epoch —
+the same update sequence, merely partitioned.
 """
 
 from __future__ import annotations
@@ -51,6 +61,18 @@ class FusedL2Metrics(NamedTuple):
     cost_test_loss: jax.Array
 
 
+def _chunks(n: int, c: int):
+    """[(start, end)] slices of at most c; at most two distinct sizes so
+    segment programs stay shape-stable (one extra compile for the tail)."""
+    return [(s, min(s + c, n)) for s in range(0, max(n, 0), c)]
+
+
+def _wmean(pairs):
+    """Exact global mean from per-chunk (mean, count) pairs."""
+    tot = sum(w for _, w in pairs)
+    return sum(l * w for l, w in pairs) / max(tot, 1)
+
+
 def make_fused_gan_epoch(
     policy,
     env,
@@ -75,6 +97,9 @@ def make_fused_gan_epoch(
     test_plan_batch: int = 64,
     expert_dyn_windows=None,  # (X, U, Y) expert sequence windows
     expert_dyn_updates: int = 0,
+    chunk_updates: int = 0,
+    plan_chunk: int = 0,
+    collect_noise: float = 0.0,
 ):
     """Build the fused epoch. Returns
     ``epoch(params, opt_states, replay, key, teacher_forcing) ->
@@ -87,6 +112,12 @@ def make_fused_gan_epoch(
     expert-distribution refresh (``training/dynamics.py:151-169``) —
     pure on-policy data collapses the model onto wherever the policy
     visits.
+
+    ``chunk_updates > 0`` selects the watchdog-safe CHUNKED epoch (see
+    module docstring): identical numerics, but every scanned-update phase
+    is partitioned into programs of at most that many updates, and
+    batched planning fan-outs into sub-batches of ``plan_chunk`` (0 =
+    whole batch).
     """
 
     exp_X = jnp.asarray(expert_history_X)
@@ -121,41 +152,31 @@ def make_fused_gan_epoch(
         sol = policy.plan(params, history_x, zeros_u, warm_start_carry=False)
         return policy.planned_states(sol)
 
-    @jax.jit
-    def epoch(params, opt_states, replay: ReplayBuffer, key, teacher_forcing):
-        # independent streams per consumer (a shared key would correlate
-        # the critic's plan-subset choice with its minibatch permutation)
-        (
-            k_collect,
-            k_dyn,
-            k_crit_idx,
-            k_crit_perm,
-            k_cost,
-            k_shuffle,
-        ) = jax.random.split(key, 6)
+    # ---- phase bodies, shared by the single-program and chunked modes ----
 
-        # ---- 1. on-policy collection (batched, fully on device;
-        # batch-native planner when the dynamics net supports it) --------
+    def _collect(params, replay, key):
+        # on-policy collection (batched, fully on device; batch-native
+        # planner when the dynamics net supports it) + replay insert
         episode = policy_rollout(
             env,
             env_params,
             policy,
             params,
             normalizer,
-            k_collect,
+            key,
             num_steps=episode_steps,
             history=history,
             num_envs=num_envs,
+            action_noise=collect_noise,
         )
         ep_return = jnp.mean(jnp.sum(episode.rewards, axis=-1))
-
-        # ---- 2. window + device replay insert -------------------------
         replay = replay.add_trajectories(
             normalizer.normalize_state(episode.states),
             normalizer.normalize_action(episode.actions),
         )
+        return replay, ep_return
 
-        # ---- 3. dynamics updates from replay ---------------------------
+    def _dyn_loss_of(replay, teacher_forcing):
         def dyn_batch_loss(params, idx):
             X, U, Y = (
                 replay.states[idx],
@@ -175,71 +196,26 @@ def make_fused_gan_epoch(
             )(X, U, Y)
             return jnp.mean(losses)
 
-        dyn_perm = jax.random.randint(
-            k_dyn,
-            (dynamics_updates * steps_per_update, batch_size),
-            0,
-            jnp.maximum(replay.size, 1),
-        )
-        params, dyn_state, dyn_loss = _scan_updates(
-            params,
-            optimizers["dynamics"],
-            opt_states["dynamics"],
-            dyn_batch_loss,
-            dyn_perm,
-        )
+        return dyn_batch_loss
 
-        # ---- 3b. expert-distribution refresh (teacher-forced) ----------
-        if have_exp_dyn:
-
-            def exp_dyn_loss(params, idx):
-                losses = jax.vmap(
-                    lambda x, u, y: multistep_prediction_loss(
-                        policy.dynamics_model,
-                        params["dynamics_params"],
-                        x,
-                        u,
-                        y,
-                        gamma,
-                        jnp.asarray(True),
-                    )
-                )(edX[idx], edU[idx], edY[idx])
-                return jnp.mean(losses)
-
-            exp_perm = jax.random.randint(
-                jax.random.fold_in(k_dyn, 1),
-                (expert_dyn_updates, batch_size),
-                0,
-                edX.shape[0],
+    def _exp_dyn_loss(params, idx):
+        losses = jax.vmap(
+            lambda x, u, y: multistep_prediction_loss(
+                policy.dynamics_model,
+                params["dynamics_params"],
+                x,
+                u,
+                y,
+                gamma,
+                jnp.asarray(True),
             )
-            params, dyn_state, _ = _scan_updates(
-                params,
-                optimizers["dynamics"],
-                dyn_state,
-                exp_dyn_loss,
-                exp_perm,
-            )
+        )(edX[idx], edU[idx], edY[idx])
+        return jnp.mean(losses)
 
-        # ---- 4. critic: plan on a subset of expert histories -----------
-        plan_idx = jax.random.choice(
-            k_crit_idx,
-            exp_X.shape[0],
-            shape=(critic_plan_batch,),
-            replace=False,
-        )
-        fake_Y = jax.vmap(lambda hx: _plan_states(params, hx))(
-            exp_X[plan_idx]
-        )
-        seqs = jnp.concatenate([exp_Y[plan_idx], fake_Y], axis=0)
-        labels = jnp.concatenate(
-            [
-                jnp.ones((critic_plan_batch,), jnp.float32),
-                -jnp.ones((critic_plan_batch,), jnp.float32),
-            ]
-        )
-        shuffle = jax.random.permutation(k_shuffle, 2 * critic_plan_batch)
-        seqs, labels = seqs[shuffle], labels[shuffle]
+    def _make_fakes(params, hX):
+        return jax.vmap(lambda hx: _plan_states(params, hx))(hX)
 
+    def _critic_loss_of(seqs, labels):
         def critic_batch_loss(params, idx):
             losses = jax.vmap(
                 lambda s, l: critic_bce_loss(
@@ -248,23 +224,11 @@ def make_fused_gan_epoch(
             )(seqs[idx], labels[idx])
             return jnp.mean(losses)
 
-        crit_perm = jax.random.randint(
-            k_crit_perm,
-            (critic_updates, batch_size),
-            0,
-            2 * critic_plan_batch,
-        )
-        params, crit_state, crit_loss = _scan_updates(
-            params,
-            optimizers["critic"],
-            opt_states["critic"],
-            critic_batch_loss,
-            crit_perm,
-        )
+        return critic_batch_loss
 
-        # ---- 5. bilevel generator updates ------------------------------
-        prev_params = params
-
+    def _gen_scan(params, cost_state, perm):
+        # scanned bilevel generator updates through the planner's
+        # implicit VJP
         def gen_update(carry, idx):
             params, opt_state = carry
             loss, grads = policy.batched_loss_and_grad(
@@ -276,41 +240,127 @@ def make_fused_gan_epoch(
             params = optax.apply_updates(params, updates)
             return (params, opt_state), loss
 
+        (params, cost_state), gen_losses = jax.lax.scan(
+            gen_update, (params, cost_state), perm
+        )
+        return params, cost_state, jnp.mean(gen_losses)
+
+    def _test_metrics(params, fake_test):
+        # held-out critic + generator losses from one planning pass
+        seqs_t = jnp.concatenate([tY, fake_test], axis=0)
+        labels_t = jnp.concatenate(
+            [
+                jnp.ones((tX.shape[0],), jnp.float32),
+                -jnp.ones((tX.shape[0],), jnp.float32),
+            ]
+        )
+        crit_test = jnp.mean(
+            jax.vmap(
+                lambda s, l: critic_bce_loss(
+                    policy.critic_model, params["critic_params"], s, l
+                )
+            )(seqs_t, labels_t)
+        )
+        score_t = jax.vmap(
+            lambda s: policy.critic_model.apply(params["critic_params"], s)
+        )(fake_test)
+        p_t = jax.nn.sigmoid(score_t)
+        gen_test = jnp.mean(
+            -jnp.log(p_t + 1e-6) + jnp.log(1.0 - p_t + 1e-6)
+        )
+        return crit_test, gen_test
+
+    @jax.jit
+    def epoch(params, opt_states, replay: ReplayBuffer, key, teacher_forcing):
+        # independent streams per consumer (a shared key would correlate
+        # the critic's plan-subset choice with its minibatch permutation)
+        (
+            k_collect,
+            k_dyn,
+            k_crit_idx,
+            k_crit_perm,
+            k_cost,
+            k_shuffle,
+        ) = jax.random.split(key, 6)
+
+        replay, ep_return = _collect(params, replay, k_collect)
+
+        # dynamics updates from replay
+        dyn_perm = jax.random.randint(
+            k_dyn,
+            (dynamics_updates * steps_per_update, batch_size),
+            0,
+            jnp.maximum(replay.size, 1),
+        )
+        params, dyn_state, dyn_loss = _scan_updates(
+            params,
+            optimizers["dynamics"],
+            opt_states["dynamics"],
+            _dyn_loss_of(replay, teacher_forcing),
+            dyn_perm,
+        )
+
+        # expert-distribution refresh (teacher-forced)
+        if have_exp_dyn:
+            exp_perm = jax.random.randint(
+                jax.random.fold_in(k_dyn, 1),
+                (expert_dyn_updates, batch_size),
+                0,
+                edX.shape[0],
+            )
+            params, dyn_state, _ = _scan_updates(
+                params,
+                optimizers["dynamics"],
+                dyn_state,
+                _exp_dyn_loss,
+                exp_perm,
+            )
+
+        # critic: plan on a subset of expert histories
+        plan_idx = jax.random.choice(
+            k_crit_idx,
+            exp_X.shape[0],
+            shape=(critic_plan_batch,),
+            replace=False,
+        )
+        fake_Y = _make_fakes(params, exp_X[plan_idx])
+        seqs = jnp.concatenate([exp_Y[plan_idx], fake_Y], axis=0)
+        labels = jnp.concatenate(
+            [
+                jnp.ones((critic_plan_batch,), jnp.float32),
+                -jnp.ones((critic_plan_batch,), jnp.float32),
+            ]
+        )
+        shuffle = jax.random.permutation(k_shuffle, 2 * critic_plan_batch)
+        seqs, labels = seqs[shuffle], labels[shuffle]
+
+        crit_perm = jax.random.randint(
+            k_crit_perm,
+            (critic_updates, batch_size),
+            0,
+            2 * critic_plan_batch,
+        )
+        params, crit_state, crit_loss = _scan_updates(
+            params,
+            optimizers["critic"],
+            opt_states["critic"],
+            _critic_loss_of(seqs, labels),
+            crit_perm,
+        )
+
+        # bilevel generator updates + Polyak blend
+        prev_params = params
         cost_perm = minibatch_indices(
             k_cost, exp_X.shape[0], cost_updates, batch_size
         )
-        (params, cost_state), gen_losses = jax.lax.scan(
-            gen_update, (params, opt_states["cost"]), cost_perm
+        params, cost_state, gen_loss = _gen_scan(
+            params, opt_states["cost"], cost_perm
         )
         params = polyak_blend(prev_params, params, polyak_factor)
 
-        # ---- 6. held-out test metrics (one planning pass, reused for
-        # both critic and generator test losses) --------------------------
         if have_test:
-            fake_test = jax.vmap(lambda hx: _plan_states(params, hx))(tX)
-            seqs_t = jnp.concatenate([tY, fake_test], axis=0)
-            labels_t = jnp.concatenate(
-                [
-                    jnp.ones((tX.shape[0],), jnp.float32),
-                    -jnp.ones((tX.shape[0],), jnp.float32),
-                ]
-            )
-            crit_test = jnp.mean(
-                jax.vmap(
-                    lambda s, l: critic_bce_loss(
-                        policy.critic_model, params["critic_params"], s, l
-                    )
-                )(seqs_t, labels_t)
-            )
-            score_t = jax.vmap(
-                lambda s: policy.critic_model.apply(
-                    params["critic_params"], s
-                )
-            )(fake_test)
-            p_t = jax.nn.sigmoid(score_t)
-            gen_test = jnp.mean(
-                -jnp.log(p_t + 1e-6) + jnp.log(1.0 - p_t + 1e-6)
-            )
+            fake_test = _make_fakes(params, tX)
+            crit_test, gen_test = _test_metrics(params, fake_test)
         else:
             crit_test = jnp.float32(0.0)
             gen_test = jnp.float32(0.0)
@@ -324,13 +374,172 @@ def make_fused_gan_epoch(
             episode_return=ep_return,
             dynamics_loss=dyn_loss,
             critic_loss=crit_loss,
-            generator_loss=jnp.mean(gen_losses),
+            generator_loss=gen_loss,
             critic_test_loss=crit_test,
             generator_test_loss=gen_test,
         )
         return params, opt_states, replay, metrics
 
-    return epoch
+    if not chunk_updates:
+        return epoch
+
+    # ---- chunked mode: same phases, partitioned into bounded programs ----
+    c = int(chunk_updates)
+    pc = int(plan_chunk) if plan_chunk else critic_plan_batch
+
+    seg_collect = jax.jit(_collect)
+    seg_fakes = jax.jit(_make_fakes)
+    seg_polyak = jax.jit(lambda a, b: polyak_blend(a, b, polyak_factor))
+    seg_gen = jax.jit(_gen_scan)
+    if have_test:
+        seg_test = jax.jit(_test_metrics)
+
+    @jax.jit
+    def seg_dyn(params, dyn_state, replay, perm, teacher_forcing):
+        return _scan_updates(
+            params,
+            optimizers["dynamics"],
+            dyn_state,
+            _dyn_loss_of(replay, teacher_forcing),
+            perm,
+        )
+
+    @jax.jit
+    def seg_exp_dyn(params, dyn_state, perm):
+        return _scan_updates(
+            params, optimizers["dynamics"], dyn_state, _exp_dyn_loss, perm
+        )
+
+    @jax.jit
+    def seg_critic(params, crit_state, seqs, labels, perm):
+        return _scan_updates(
+            params,
+            optimizers["critic"],
+            crit_state,
+            _critic_loss_of(seqs, labels),
+            perm,
+        )
+
+    def chunked_epoch(
+        params, opt_states, replay: ReplayBuffer, key, teacher_forcing
+    ):
+        (
+            k_collect,
+            k_dyn,
+            k_crit_idx,
+            k_crit_perm,
+            k_cost,
+            k_shuffle,
+        ) = jax.random.split(key, 6)
+
+        replay, ep_return = seg_collect(params, replay, k_collect)
+
+        dyn_perm = jax.random.randint(
+            k_dyn,
+            (dynamics_updates * steps_per_update, batch_size),
+            0,
+            jnp.maximum(replay.size, 1),
+        )
+        dyn_state = opt_states["dynamics"]
+        parts = []
+        for s, e in _chunks(dyn_perm.shape[0], c):
+            params, dyn_state, l = seg_dyn(
+                params, dyn_state, replay, dyn_perm[s:e], teacher_forcing
+            )
+            parts.append((l, e - s))
+        dyn_loss = _wmean(parts)
+
+        if have_exp_dyn:
+            exp_perm = jax.random.randint(
+                jax.random.fold_in(k_dyn, 1),
+                (expert_dyn_updates, batch_size),
+                0,
+                edX.shape[0],
+            )
+            for s, e in _chunks(expert_dyn_updates, c):
+                params, dyn_state, _ = seg_exp_dyn(
+                    params, dyn_state, exp_perm[s:e]
+                )
+
+        plan_idx = jax.random.choice(
+            k_crit_idx,
+            exp_X.shape[0],
+            shape=(critic_plan_batch,),
+            replace=False,
+        )
+        fake_Y = jnp.concatenate(
+            [
+                seg_fakes(params, exp_X[plan_idx[s:e]])
+                for s, e in _chunks(critic_plan_batch, pc)
+            ]
+        )
+        seqs = jnp.concatenate([exp_Y[plan_idx], fake_Y], axis=0)
+        labels = jnp.concatenate(
+            [
+                jnp.ones((critic_plan_batch,), jnp.float32),
+                -jnp.ones((critic_plan_batch,), jnp.float32),
+            ]
+        )
+        shuffle = jax.random.permutation(k_shuffle, 2 * critic_plan_batch)
+        seqs, labels = seqs[shuffle], labels[shuffle]
+
+        crit_perm = jax.random.randint(
+            k_crit_perm,
+            (critic_updates, batch_size),
+            0,
+            2 * critic_plan_batch,
+        )
+        crit_state = opt_states["critic"]
+        parts = []
+        for s, e in _chunks(critic_updates, c):
+            params, crit_state, l = seg_critic(
+                params, crit_state, seqs, labels, crit_perm[s:e]
+            )
+            parts.append((l, e - s))
+        crit_loss = _wmean(parts)
+
+        prev_params = params
+        cost_perm = minibatch_indices(
+            k_cost, exp_X.shape[0], cost_updates, batch_size
+        )
+        cost_state = opt_states["cost"]
+        parts = []
+        for s, e in _chunks(cost_updates, c):
+            params, cost_state, l = seg_gen(
+                params, cost_state, cost_perm[s:e]
+            )
+            parts.append((l, e - s))
+        gen_loss = _wmean(parts)
+        params = seg_polyak(prev_params, params)
+
+        if have_test:
+            fake_test = jnp.concatenate(
+                [
+                    seg_fakes(params, tX[s:e])
+                    for s, e in _chunks(tX.shape[0], pc)
+                ]
+            )
+            crit_test, gen_test = seg_test(params, fake_test)
+        else:
+            crit_test = jnp.float32(0.0)
+            gen_test = jnp.float32(0.0)
+
+        opt_states = {
+            "dynamics": dyn_state,
+            "critic": crit_state,
+            "cost": cost_state,
+        }
+        metrics = FusedEpochMetrics(
+            episode_return=ep_return,
+            dynamics_loss=dyn_loss,
+            critic_loss=crit_loss,
+            generator_loss=gen_loss,
+            critic_test_loss=crit_test,
+            generator_test_loss=gen_test,
+        )
+        return params, opt_states, replay, metrics
+
+    return chunked_epoch
 
 
 def make_fused_l2_epoch(
@@ -355,11 +564,15 @@ def make_fused_l2_epoch(
     test_plan_batch: int = 64,
     expert_dyn_windows=None,  # (X, U, Y) expert sequence windows
     expert_dyn_updates: int = 0,
+    chunk_updates: int = 0,
+    plan_chunk: int = 0,
+    collect_noise: float = 0.0,
 ):
     """Fused single-program L2-MPC epoch: collection -> dynamics updates
     -> bilevel L2 cost updates (+ Polyak), the L2 counterpart of
     ``make_fused_gan_epoch`` (``/root/reference/norm/runner.py:101-145``
-    as one XLA program)."""
+    as one XLA program). ``chunk_updates``/``plan_chunk`` select the
+    watchdog-safe chunked mode (see module docstring)."""
     from gan_mpc_tpu.policies.losses import l2_imitation_loss
 
     exp_X = jnp.asarray(expert_history_X)
@@ -386,27 +599,29 @@ def make_fused_l2_epoch(
         )
         return params, opt_state, jnp.mean(losses)
 
-    @jax.jit
-    def epoch(params, opt_states, replay: ReplayBuffer, key, teacher_forcing):
-        k_collect, k_dyn, k_cost = jax.random.split(key, 3)
+    # ---- phase bodies, shared by the single-program and chunked modes ----
 
+    def _collect(params, replay, key):
         episode = policy_rollout(
             env,
             env_params,
             policy,
             params,
             normalizer,
-            k_collect,
+            key,
             num_steps=episode_steps,
             history=history,
             num_envs=num_envs,
+            action_noise=collect_noise,
         )
         ep_return = jnp.mean(jnp.sum(episode.rewards, axis=-1))
         replay = replay.add_trajectories(
             normalizer.normalize_state(episode.states),
             normalizer.normalize_action(episode.actions),
         )
+        return replay, ep_return
 
+    def _dyn_loss_of(replay, teacher_forcing):
         def dyn_batch_loss(params, idx):
             X, U, Y = (
                 replay.states[idx],
@@ -426,52 +641,23 @@ def make_fused_l2_epoch(
             )(X, U, Y)
             return jnp.mean(losses)
 
-        dyn_perm = jax.random.randint(
-            k_dyn,
-            (dynamics_updates * steps_per_update, batch_size),
-            0,
-            jnp.maximum(replay.size, 1),
-        )
-        params, dyn_state, dyn_loss = _scan_updates(
-            params,
-            optimizers["dynamics"],
-            opt_states["dynamics"],
-            dyn_batch_loss,
-            dyn_perm,
-        )
+        return dyn_batch_loss
 
-        if have_exp_dyn:
-
-            def exp_dyn_loss(params, idx):
-                losses = jax.vmap(
-                    lambda x, u, y: multistep_prediction_loss(
-                        policy.dynamics_model,
-                        params["dynamics_params"],
-                        x,
-                        u,
-                        y,
-                        gamma,
-                        jnp.asarray(True),
-                    )
-                )(edX[idx], edU[idx], edY[idx])
-                return jnp.mean(losses)
-
-            exp_perm = jax.random.randint(
-                jax.random.fold_in(k_dyn, 1),
-                (expert_dyn_updates, batch_size),
-                0,
-                edX.shape[0],
+    def _exp_dyn_loss(params, idx):
+        losses = jax.vmap(
+            lambda x, u, y: multistep_prediction_loss(
+                policy.dynamics_model,
+                params["dynamics_params"],
+                x,
+                u,
+                y,
+                gamma,
+                jnp.asarray(True),
             )
-            params, dyn_state, _ = _scan_updates(
-                params,
-                optimizers["dynamics"],
-                dyn_state,
-                exp_dyn_loss,
-                exp_perm,
-            )
+        )(edX[idx], edU[idx], edY[idx])
+        return jnp.mean(losses)
 
-        prev_params = params
-
+    def _cost_scan(params, cost_state, perm):
         def cost_update(carry, idx):
             params, opt_state = carry
             loss, grads = policy.batched_loss_and_grad(
@@ -483,27 +669,68 @@ def make_fused_l2_epoch(
             params = optax.apply_updates(params, updates)
             return (params, opt_state), loss
 
+        (params, cost_state), cost_losses = jax.lax.scan(
+            cost_update, (params, cost_state), perm
+        )
+        return params, cost_state, jnp.mean(cost_losses)
+
+    def _test_metric(params, hX, hY):
+        def test_loss_one(hx, y):
+            zeros_u = jnp.zeros(
+                (hx.shape[0] - 1, policy.expert_model.u_size),
+                jnp.float32,
+            )
+            sol = policy.plan(params, hx, zeros_u, warm_start_carry=False)
+            return l2_imitation_loss(policy, sol, params, y)
+
+        return jnp.mean(jax.vmap(test_loss_one)(hX, hY))
+
+    @jax.jit
+    def epoch(params, opt_states, replay: ReplayBuffer, key, teacher_forcing):
+        k_collect, k_dyn, k_cost = jax.random.split(key, 3)
+
+        replay, ep_return = _collect(params, replay, k_collect)
+
+        dyn_perm = jax.random.randint(
+            k_dyn,
+            (dynamics_updates * steps_per_update, batch_size),
+            0,
+            jnp.maximum(replay.size, 1),
+        )
+        params, dyn_state, dyn_loss = _scan_updates(
+            params,
+            optimizers["dynamics"],
+            opt_states["dynamics"],
+            _dyn_loss_of(replay, teacher_forcing),
+            dyn_perm,
+        )
+
+        if have_exp_dyn:
+            exp_perm = jax.random.randint(
+                jax.random.fold_in(k_dyn, 1),
+                (expert_dyn_updates, batch_size),
+                0,
+                edX.shape[0],
+            )
+            params, dyn_state, _ = _scan_updates(
+                params,
+                optimizers["dynamics"],
+                dyn_state,
+                _exp_dyn_loss,
+                exp_perm,
+            )
+
+        prev_params = params
         cost_perm = minibatch_indices(
             k_cost, exp_X.shape[0], cost_updates, batch_size
         )
-        (params, cost_state), cost_losses = jax.lax.scan(
-            cost_update, (params, opt_states["cost"]), cost_perm
+        params, cost_state, cost_loss = _cost_scan(
+            params, opt_states["cost"], cost_perm
         )
         params = polyak_blend(prev_params, params, polyak_factor)
 
         if have_test:
-
-            def test_loss_one(hx, y):
-                zeros_u = jnp.zeros(
-                    (hx.shape[0] - 1, policy.expert_model.u_size),
-                    jnp.float32,
-                )
-                sol = policy.plan(
-                    params, hx, zeros_u, warm_start_carry=False
-                )
-                return l2_imitation_loss(policy, sol, params, y)
-
-            cost_test = jnp.mean(jax.vmap(test_loss_one)(tX, tY))
+            cost_test = _test_metric(params, tX, tY)
         else:
             cost_test = jnp.float32(0.0)
 
@@ -511,9 +738,104 @@ def make_fused_l2_epoch(
         metrics = FusedL2Metrics(
             episode_return=ep_return,
             dynamics_loss=dyn_loss,
-            cost_loss=jnp.mean(cost_losses),
+            cost_loss=cost_loss,
             cost_test_loss=cost_test,
         )
         return params, opt_states, replay, metrics
 
-    return epoch
+    if not chunk_updates:
+        return epoch
+
+    # ---- chunked mode: same phases, partitioned into bounded programs ----
+    c = int(chunk_updates)
+    pc = int(plan_chunk) if plan_chunk else test_plan_batch
+
+    seg_collect = jax.jit(_collect)
+    seg_cost = jax.jit(_cost_scan)
+    seg_polyak = jax.jit(lambda a, b: polyak_blend(a, b, polyak_factor))
+    if have_test:
+        seg_test = jax.jit(_test_metric)
+
+    @jax.jit
+    def seg_dyn(params, dyn_state, replay, perm, teacher_forcing):
+        return _scan_updates(
+            params,
+            optimizers["dynamics"],
+            dyn_state,
+            _dyn_loss_of(replay, teacher_forcing),
+            perm,
+        )
+
+    @jax.jit
+    def seg_exp_dyn(params, dyn_state, perm):
+        return _scan_updates(
+            params, optimizers["dynamics"], dyn_state, _exp_dyn_loss, perm
+        )
+
+    def chunked_epoch(
+        params, opt_states, replay: ReplayBuffer, key, teacher_forcing
+    ):
+        k_collect, k_dyn, k_cost = jax.random.split(key, 3)
+
+        replay, ep_return = seg_collect(params, replay, k_collect)
+
+        dyn_perm = jax.random.randint(
+            k_dyn,
+            (dynamics_updates * steps_per_update, batch_size),
+            0,
+            jnp.maximum(replay.size, 1),
+        )
+        dyn_state = opt_states["dynamics"]
+        parts = []
+        for s, e in _chunks(dyn_perm.shape[0], c):
+            params, dyn_state, l = seg_dyn(
+                params, dyn_state, replay, dyn_perm[s:e], teacher_forcing
+            )
+            parts.append((l, e - s))
+        dyn_loss = _wmean(parts)
+
+        if have_exp_dyn:
+            exp_perm = jax.random.randint(
+                jax.random.fold_in(k_dyn, 1),
+                (expert_dyn_updates, batch_size),
+                0,
+                edX.shape[0],
+            )
+            for s, e in _chunks(expert_dyn_updates, c):
+                params, dyn_state, _ = seg_exp_dyn(
+                    params, dyn_state, exp_perm[s:e]
+                )
+
+        prev_params = params
+        cost_perm = minibatch_indices(
+            k_cost, exp_X.shape[0], cost_updates, batch_size
+        )
+        cost_state = opt_states["cost"]
+        parts = []
+        for s, e in _chunks(cost_updates, c):
+            params, cost_state, l = seg_cost(
+                params, cost_state, cost_perm[s:e]
+            )
+            parts.append((l, e - s))
+        cost_loss = _wmean(parts)
+        params = seg_polyak(prev_params, params)
+
+        if have_test:
+            chunk_tests = [
+                (seg_test(params, tX[s:e], tY[s:e]), e - s)
+                for s, e in _chunks(tX.shape[0], pc)
+            ]
+            cost_test = _wmean(chunk_tests)
+        else:
+            cost_test = jnp.float32(0.0)
+
+        opt_states = {"dynamics": dyn_state, "cost": cost_state}
+        metrics = FusedL2Metrics(
+            episode_return=ep_return,
+            dynamics_loss=dyn_loss,
+            cost_loss=cost_loss,
+            cost_test_loss=cost_test,
+        )
+        return params, opt_states, replay, metrics
+
+    return chunked_epoch

@@ -34,16 +34,18 @@ def main():
     env = make_env(config.env.name)
     trajs = common.ensure_trajectories(config)
     normalizer = common.build_normalizer(config, trajs)
-    try:  # GAN runs carry critic_params; L2 runs do not
-        policy, template = common.build_policy(
-            config, env.obs_size, env.act_size, with_critic=True
-        )
-        params = io.load_params(template, run_dir + "/params.msgpack")
-    except Exception:
-        policy, template = common.build_policy(
-            config, env.obs_size, env.act_size
-        )
-        params = io.load_params(template, run_dir + "/params.msgpack")
+    # GAN runs carry critic_params; L2 runs do not. Inspect the saved
+    # checkpoint's structure directly (no try/except: a genuinely corrupt
+    # file should fail loudly, not fall back to a mis-built policy).
+    from flax import serialization
+
+    with open(run_dir + "/params.msgpack", "rb") as fp:
+        raw = serialization.msgpack_restore(fp.read())
+    with_critic = "critic_params" in raw
+    policy, template = common.build_policy(
+        config, env.obs_size, env.act_size, with_critic=with_critic
+    )
+    params = io.load_params(template, run_dir + "/params.msgpack")
 
     env_im, env_im_params = common.imitator_env(config)
     if n_ep <= 0:

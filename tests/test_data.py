@@ -123,6 +123,45 @@ def test_sequence_windows_start_oversample():
     )
 
 
+def test_split_sequence_windows_heldout_disjoint_from_train():
+    """Oversampling must not leak duplicated windows into the held-out
+    split (ADVICE round 2): split first, oversample only the train side."""
+    import jax
+    import jax.numpy as jnp
+
+    from gan_mpc_tpu.data.windows import (
+        sequence_windows,
+        split_sequence_windows,
+    )
+
+    states = jnp.arange(3 * 20 * 1, dtype=jnp.float32).reshape(3, 20, 1)
+    actions = jnp.zeros((3, 20, 1))
+    train, test = split_sequence_windows(
+        states, actions, seqlen=4, key=jax.random.PRNGKey(0),
+        start_oversample=5,
+    )
+    base_n = 3 * (20 - 4)
+    cut = int(base_n * 0.8)
+    assert test[0].shape[0] == base_n - cut
+    assert train[0].shape[0] >= cut  # base train + oversampled copies
+    # every window is identified by its first state value (windows are
+    # strictly increasing sequences here) — no overlap across splits
+    train_ids = set(np.asarray(train[0][:, 0, 0]).tolist())
+    test_ids = set(np.asarray(test[0][:, 0, 0]).tolist())
+    assert not (train_ids & test_ids)
+    # all oversampled copies are early windows (start position < seqlen)
+    counts = {}
+    for v in np.asarray(train[0][:, 0, 0]).tolist():
+        counts[v] = counts.get(v, 0) + 1
+    for v, c in counts.items():
+        if c > 1:
+            assert (v % 20) < 4, f"non-early window {v} duplicated"
+    # union covers the same base windows as the unsplit construction
+    X0, _, _ = sequence_windows(states, actions, seqlen=4)
+    all_ids = set(np.asarray(X0[:, 0, 0]).tolist())
+    assert (train_ids | test_ids) == all_ids
+
+
 def test_collection_reset_velocity_covers_moving_starts():
     from gan_mpc_tpu.envs import make_env
     from gan_mpc_tpu.runners.collect import collect_expert_trajectories

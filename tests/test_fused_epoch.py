@@ -104,6 +104,75 @@ def test_fused_gan_epoch_runs_and_learns():
     assert bool(jnp.isfinite(m2.generator_loss))
 
 
+def test_fused_gan_epoch_chunked_matches_single_program():
+    """chunk_updates partitions the epoch into bounded programs (TPU
+    watchdog safety) with IDENTICAL numerics: same update sequence, same
+    RNG streams, merely split at program boundaries."""
+    env = PendulumSwingup()
+    x, u = env.obs_size, env.act_size
+    policy = MPCPolicy(
+        cost_model=MPCCost(CostFeatureNet(hidden=(8,), features_out=2), H),
+        dynamics_model=LearnedDynamics(
+            ResidualMLPDynamicsNet(x_size=x, hidden=(16,))
+        ),
+        expert_model=ExpertPredictor(
+            x_size=x, u_size=u, arch="mlp", features=0, hidden=(8,)
+        ),
+        critic_model=SequenceCritic(features=8, hidden=(8,)),
+        horizon=H,
+        settings=SolverSettings(max_iterations=3),
+    )
+    params = policy.init(KEY, (-2.0, 3.0, -3.0), u, critic_x_size=x)
+    norm = Normalizer.identity(x, u)
+    opts = {
+        "dynamics": masked_adam(
+            params,
+            ["mpc_weights", "cost_params", "critic_params", "expert_params"],
+            1e-3,
+        )[0],
+        "critic": masked_adam(
+            params,
+            ["mpc_weights", "cost_params", "dynamics_params", "expert_params"],
+            1e-3,
+        )[0],
+        "cost": masked_adam(
+            params, ["dynamics_params", "critic_params", "expert_params"],
+            1e-4,
+        )[0],
+    }
+    opt_states = {k: opt.init(params) for k, opt in opts.items()}
+    n_windows = 16
+    exp_X = 0.1 * jax.random.normal(KEY, (n_windows, 2, x))
+    exp_Y = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(1), (n_windows, H + 1, x)
+    )
+    kwargs = dict(
+        num_envs=2, episode_steps=6, history=1,
+        dynamics_updates=2, critic_updates=3, cost_updates=3,
+        batch_size=4, gamma=0.9, polyak_factor=0.9, critic_plan_batch=4,
+        expert_history_X_test=exp_X[:3], expert_future_Y_test=exp_Y[:3],
+        expert_dyn_windows=(
+            exp_Y[:, : H - 1], 0.1 * exp_Y[:, : H - 1, :u], exp_Y[:, 1:H]
+        ),
+        expert_dyn_updates=2,
+    )
+    args = (env, env.default_params(), norm, opts, exp_X, exp_Y)
+    single = make_fused_gan_epoch(policy, *args, **kwargs)
+    chunked = make_fused_gan_epoch(
+        policy, *args, **kwargs, chunk_updates=2, plan_chunk=3
+    )
+    replay = ReplayBuffer.create(64, H, x, u)
+    out_s = single(params, opt_states, replay, KEY, jnp.asarray(True))
+    out_c = chunked(params, opt_states, replay, KEY, jnp.asarray(True))
+    for ps, pc in zip(
+        jax.tree_util.tree_leaves(out_s[0]),
+        jax.tree_util.tree_leaves(out_c[0]),
+    ):
+        assert jnp.allclose(ps, pc, atol=2e-5), "params diverged"
+    for name, vs, vc in zip(out_s[3]._fields, out_s[3], out_c[3]):
+        assert jnp.allclose(vs, vc, atol=2e-5), (name, vs, vc)
+
+
 def test_fused_l2_epoch_runs_and_learns():
     from gan_mpc_tpu.training.fused_epoch import make_fused_l2_epoch
 
