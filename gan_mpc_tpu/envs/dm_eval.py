@@ -67,6 +67,26 @@ def apply_suite_physics_shift(env, shifts) -> None:
             raise ValueError(f"unsupported physics-shift key {key!r}")
 
 
+def _walker_obs(physics) -> np.ndarray:
+    """dm_control walker state -> the planar walker's 17-dim obs layout.
+
+    The suite's observation dict (orientations 14 + height + velocity 9
+    = 24) doesn't match the planar walker's [qpos[1:], qvel] layout, but
+    the underlying state does up to a joint permutation: dm qpos is
+    [rootz, rootx, rooty, R(hip,knee,ankle), L(hip,knee,ankle)] vs ours
+    [x, z, pitch, L..., R...]."""
+    q = np.asarray(physics.data.qpos)
+    v = np.asarray(physics.data.qvel)
+    perm = [1, 0, 2, 6, 7, 8, 3, 4, 5]
+    q2, v2 = q[perm], v[perm]
+    return np.concatenate([q2[1:], v2])
+
+
+# env families whose suite observation layout differs from the pure-JAX
+# env's: build the policy's observation from the physics state instead.
+_OBS_ADAPTERS = {"walker_walk": _walker_obs}
+
+
 def flatten_observation(obs_dict) -> np.ndarray:
     """dict-of-arrays -> flat vector, the reference's flattening
     (``/root/reference/utils.py:103-108``: concatenate values in dict
@@ -109,6 +129,13 @@ def evaluate_in_dm_control(
             "is planar (29-dim obs); the suite humanoid is 3-D (67-dim)."
         )
     domain, task = _SUITE_NAMES[env_name]
+    adapter = _OBS_ADAPTERS.get(env_name)
+
+    def observe(env, ts):
+        if adapter is not None:
+            return adapter(env.physics)
+        return flatten_observation(ts.observation)
+
     returns = []
     for ep in range(num_episodes):
         env = suite.load(
@@ -116,7 +143,7 @@ def evaluate_in_dm_control(
         )
         apply_suite_physics_shift(env, physics_shifts)
         ts = env.reset()
-        obs = flatten_observation(ts.observation)
+        obs = observe(env, ts)
         hx = [normalizer.normalize_state(jnp.asarray(obs, jnp.float32))] * (
             history + 1
         )
@@ -131,7 +158,7 @@ def evaluate_in_dm_control(
             u = np.asarray(u, dtype=np.float64)
             ts = env.step(u)
             total += float(ts.reward or 0.0)
-            obs = flatten_observation(ts.observation)
+            obs = observe(env, ts)
             hx.append(
                 normalizer.normalize_state(jnp.asarray(obs, jnp.float32))
             )

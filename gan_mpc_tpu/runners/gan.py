@@ -345,6 +345,7 @@ def run(config: Config, log_fn=print):
     ctx["params"] = params
     key, k_eval = jax.random.split(key)
     avg_reward = l2_runner.evaluate(config, ctx, k_eval)
+    dm_result = l2_runner.dm_cross_eval(config, ctx, log_fn)
 
     run_dir = io.new_run_dir(common.imitator_model_dir(config, "gan"))
     io.save_params(params, os.path.join(run_dir, "params.msgpack"))
@@ -353,6 +354,7 @@ def run(config: Config, log_fn=print):
             "seed": config.seed,
             "env": config.env.to_dict(),
             "reward": round(avg_reward, 2),
+            "dm_control_reward": dm_result,
             "loss": {
                 "dynamics": {"train_loss": round(history["dynamics_train_losses"][-1], 5)},
                 "critic": {

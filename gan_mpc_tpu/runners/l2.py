@@ -158,6 +158,45 @@ def checkpointer_for(config: Config, family: str):
     )
 
 
+def dm_cross_eval(config: Config, ctx, log_fn=None):
+    """Final-eval cross-check inside REAL dm_control (the reference's
+    reward protocol, ``/root/reference/norm/runner.py:240-264``): rolls
+    the trained policy in the actual suite task with the imitator's
+    physics shift applied, returning ``{"mean": ..., "episodes": [...]}``
+    or None when disabled / unavailable. Episode count comes from
+    ``mpc.evaluate.dm_control_episodes`` (0 = off)."""
+    episodes = config.get_path("mpc.evaluate.dm_control_episodes", 0)
+    if not episodes:
+        return None
+    from gan_mpc_tpu.envs.dm_eval import (
+        dm_control_available,
+        evaluate_in_dm_control,
+        has_dm_counterpart,
+    )
+
+    name = config.env.imitator.name
+    if not dm_control_available() or not has_dm_counterpart(name):
+        return None
+    act = jax.jit(ctx["policy"].act)
+    shifts = [dict(kv) for kv in (config.env.imitator.get_path("physics") or [])]
+    mean_ret, per = evaluate_in_dm_control(
+        name,
+        lambda p, hx, hu: act(p, hx, hu),
+        ctx["params"],
+        ctx["normalizer"],
+        history=config.mpc.history,
+        num_episodes=episodes,
+        max_steps=config.get_path("mpc.evaluate.max_interactions", 1000),
+        physics_shifts=shifts,
+    )
+    if log_fn is not None:
+        log_fn(
+            f"[dm_control] {name} mean {mean_ret:.1f} over {episodes} eps: "
+            f"{[round(r, 1) for r in sorted(per)]}"
+        )
+    return {"mean": round(mean_ret, 2), "episodes": [round(r, 2) for r in per]}
+
+
 def evaluate(config: Config, ctx, key, num_runs=None) -> float:
     ecfg = config.mpc.evaluate
     num_runs = ecfg.num_runs_for_avg if num_runs is None else num_runs
@@ -451,6 +490,7 @@ def run(config: Config, log_fn=print):
     ctx["params"] = params
     key, k_eval = jax.random.split(key)
     avg_reward = evaluate(config, ctx, k_eval)
+    dm_result = dm_cross_eval(config, ctx, log_fn)
 
     run_dir = io.new_run_dir(common.imitator_model_dir(config, "l2"))
     io.save_params(params, os.path.join(run_dir, "params.msgpack"))
@@ -459,6 +499,7 @@ def run(config: Config, log_fn=print):
             "seed": config.seed,
             "env": config.env.to_dict(),
             "reward": round(avg_reward, 2),
+            "dm_control_reward": dm_result,
             "loss": {
                 "dynamics": {"train_loss": round(history["dynamics_train_losses"][-1], 5)},
                 "cost": {

@@ -168,6 +168,91 @@ def test_scripted_expert_transfers_to_real_dm_control():
     assert mean_ret > 500.0, rets
 
 
+def test_cheetah_gait_expert_transfers_to_real_dm_control():
+    """The open-loop CPG gait evolved on the planar cheetah must also run
+    forward inside actual MuJoCo — quantifying the planar model's task
+    fidelity. Measured (2026-08, 1000 steps): ~102 on the planar env,
+    ~67 in real dm_control (same 0.01 s control step) — the gait carries
+    ~2/3 of its speed across; same qpos layout ([z, pitch, 6 joints] +
+    9 qvel) on both sides."""
+    from gan_mpc_tpu.runners.collect import cheetah_gait_action
+
+    env = dm_suite.load("cheetah", "run", task_kwargs={"random": 0})
+    assert abs(env.control_timestep() - 0.01) < 1e-9
+    ts = env.reset()
+    total = 0.0
+    gait = jax.jit(lambda t: cheetah_gait_action(t, 0.01))
+    for t in range(1000):
+        ts = env.step(np.asarray(gait(jnp.float32(t)), np.float64))
+        total += float(ts.reward or 0.0)
+    assert total > 40.0, total  # forward locomotion, not flailing
+
+
+def test_walker_expert_divergence_documented():
+    """The planar walker is task-equivalent, NOT dm-exact: its morphology
+    (stiffness-driven 7-link chain, different masses/lengths) diverges
+    from the suite walker, and the scripted balance expert does not
+    transfer. Measured (2026-08, 1000 steps): ~263 on the planar env vs
+    ~11 in real dm_control through the state adapter. This test pins the
+    adapter's mechanics (layout permutation) and the measured divergence
+    so the gap is tracked, matching the documented task-equivalence
+    claim."""
+    from gan_mpc_tpu.envs import make_env
+    from gan_mpc_tpu.envs.dm_eval import _walker_obs
+    from gan_mpc_tpu.runners.collect import scripted_expert
+
+    env = dm_suite.load("walker", "walk", task_kwargs={"random": 0})
+    ts = env.reset()
+    obs = _walker_obs(env.physics)
+    assert obs.shape == (17,)
+    # height lands where the planar layout expects it (obs[0] = rootz)
+    np.testing.assert_allclose(
+        obs[0], float(env.physics.named.data.qpos["rootz"])
+    )
+    e = make_env("walker_walk")
+    pol = jax.jit(scripted_expert(e))
+    total = 0.0
+    for _ in range(300):
+        u = pol(
+            None,
+            jnp.asarray(obs, jnp.float32)[None].repeat(2, 0),
+            jnp.zeros((1, 6)),
+        )
+        ts = env.step(np.asarray(u, np.float64))
+        total += float(ts.reward or 0.0)
+        obs = _walker_obs(env.physics)
+    # documented divergence: the controller keeps the suite walker from
+    # instantly collapsing (nonzero reward) but does NOT walk it
+    assert 0.0 < total < 150.0, total
+
+
+def test_suite_physics_shift_multiplies_named_model_entries():
+    """apply_suite_physics_shift reproduces the reference's imitator
+    domain shift on a real suite env (/root/reference/utils.py:43-62)."""
+    from gan_mpc_tpu.envs.dm_eval import apply_suite_physics_shift
+
+    env = dm_suite.load("cheetah", "run")
+    before = float(env.physics.named.model.body_mass["torso"])
+    apply_suite_physics_shift(env, [{"key": "body_mass_torso", "value": 3.0}])
+    after = float(env.physics.named.model.body_mass["torso"])
+    np.testing.assert_allclose(after, 3.0 * before)
+    with pytest.raises(ValueError):
+        apply_suite_physics_shift(env, [{"key": "gravity_x", "value": 2.0}])
+
+
+def test_dm_eval_rejects_planar_humanoid():
+    from gan_mpc_tpu.envs.dm_eval import has_dm_counterpart
+
+    assert not has_dm_counterpart("humanoid_stand")
+    assert has_dm_counterpart("walker_walk")
+    norm = Normalizer.identity(29, 12)
+    with pytest.raises(ValueError, match="planar"):
+        evaluate_in_dm_control(
+            "humanoid_stand", lambda p, hx, hu: None, None, norm,
+            num_episodes=1,
+        )
+
+
 def test_observation_flattening_matches_reference_layout():
     dm_env = dm_suite.load("pendulum", "swingup")
     ts = dm_env.reset()
