@@ -7,6 +7,7 @@ from gan_mpc_tpu.parallel.mesh import (  # noqa: F401
     shard_batch,
 )
 from gan_mpc_tpu.parallel.sharded import (  # noqa: F401
+    make_dp_tp_dynamics_step,
     make_sharded_collect,
     make_sharded_cost_step,
     make_sharded_critic_step,

@@ -23,6 +23,59 @@ from gan_mpc_tpu.envs.rollout import batched_rollout
 from gan_mpc_tpu.training.dynamics import multistep_prediction_loss
 
 
+def make_dp_tp_dynamics_step(
+    dynamics_model, opt, mesh: Mesh, gamma: float,
+    dp_axis: str = "dp", tp_axis: str = "tp",
+):
+    """Hybrid data x tensor parallel dynamics update (GSPMD/pjit style).
+
+    The batch shards over ``dp_axis`` and the MLP stack's hidden axes
+    shard over ``tp_axis`` (``mesh.mlp_tensor_parallel_sharding``); XLA
+    inserts the all-gather / reduce-scatter collectives, so gradients and
+    optimizer state stay TP-sharded end to end — the scaling path for
+    stacks wider than replication can hold (humanoid-scale ensembles).
+    At this framework's default widths (<= 256 hidden) replication wins:
+    two sub-microsecond GEMM halves cannot amortize the per-layer
+    collective, which is why the single-chip quality configs do not
+    enable it (measured note in BENCHMARKS.md). Numerics match the
+    replicated step to fp tolerance (tests/test_parallel.py)."""
+    from jax.sharding import NamedSharding
+
+    from gan_mpc_tpu.parallel.mesh import mlp_tensor_parallel_sharding
+
+    batch_sh = NamedSharding(mesh, P(dp_axis))
+    repl = NamedSharding(mesh, P())
+
+    def step(params, opt_state, X, U, Y, tf):
+        params = jax.lax.with_sharding_constraint(
+            params, mlp_tensor_parallel_sharding(params, mesh, tp_axis)
+        )
+        X, U, Y = (
+            jax.lax.with_sharding_constraint(a, batch_sh) for a in (X, U, Y)
+        )
+
+        def loss_fn(params):
+            losses = jax.vmap(
+                lambda x, u, y: multistep_prediction_loss(
+                    dynamics_model,
+                    params["dynamics_params"],
+                    x,
+                    u,
+                    y,
+                    gamma,
+                    tf,
+                )
+            )(X, U, Y)
+            return jnp.mean(losses)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, jax.lax.with_sharding_constraint(loss, repl)
+
+    return jax.jit(step)
+
+
 def make_sharded_cost_step(
     policy, opt, mesh: Mesh, loss_fn: Callable, axis: str = "dp"
 ):

@@ -139,6 +139,61 @@ def test_sharded_collect_runs_on_mesh(mesh):
     assert bool(jnp.all(jnp.isfinite(ep.rewards)))
 
 
+def test_dp_tp_dynamics_step_matches_single_device():
+    """The hybrid DP x TP training step (batch over 'dp', MLP hidden axes
+    over 'tp', GSPMD collectives) must reproduce the plain single-device
+    update to fp tolerance — the production TP path for wide ensemble
+    stacks (BENCHMARKS.md TP note)."""
+    import optax
+
+    from gan_mpc_tpu.parallel import make_dp_tp_dynamics_step
+    from gan_mpc_tpu.parallel.mesh import make_mesh
+    from gan_mpc_tpu.training.dynamics import multistep_prediction_loss
+
+    mesh = make_mesh(8, axis_names=("dp", "tp"), shape=(4, 2))
+    dyn = LearnedDynamics(
+        ResidualMLPDynamicsNet(x_size=X, hidden=(64, 64))
+    )
+    params = {"dynamics_params": dyn.init(KEY, U)}
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    B, T = 8, 4
+    k1, k2, k3 = jax.random.split(KEY, 3)
+    Xw = jax.random.normal(k1, (B, T, X))
+    Uw = jax.random.normal(k2, (B, T, U))
+    Yw = jax.random.normal(k3, (B, T, X))
+
+    def single_step(params, opt_state):
+        def loss_fn(params):
+            losses = jax.vmap(
+                lambda x, u, y: multistep_prediction_loss(
+                    dyn, params["dynamics_params"], x, u, y, 0.9,
+                    jnp.asarray(True),
+                )
+            )(Xw, Uw, Yw)
+            return jnp.mean(losses)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), loss
+
+    want_params, want_loss = single_step(params, opt_state)
+    step = make_dp_tp_dynamics_step(dyn, opt, mesh, gamma=0.9)
+    got_params, _, got_loss = step(
+        params, opt_state, Xw, Uw, Yw, jnp.asarray(True)
+    )
+    np.testing.assert_allclose(
+        float(got_loss), float(want_loss), rtol=1e-5
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(got_params),
+        jax.tree_util.tree_leaves(want_params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5
+        )
+
+
 def test_tensor_parallel_param_sharding_matches_replicated():
     """pjit-style TP: kernels sharded on the hidden axis over an 8-way
     'tp' mesh must produce identical results to replicated execution."""
