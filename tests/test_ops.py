@@ -105,31 +105,3 @@ def test_vjp_structure_roundtrip():
     assert jax.tree_util.tree_structure(dp) == jax.tree_util.tree_structure(
         params
     )
-
-
-def test_fused_lstm_matches_reference():
-    from gan_mpc_tpu.ops.fused_lstm import (
-        _reference_lstm,
-        fused_lstm,
-        lstm_params,
-    )
-
-    params = lstm_params(KEY, 5, 8)
-    x = jax.random.normal(jax.random.PRNGKey(2), (6, 9, 5))
-    hs, c, h = fused_lstm(x, params)
-    hs_r, c_r, h_r = _reference_lstm(x, params)
-    np.testing.assert_allclose(np.asarray(hs), np.asarray(hs_r), atol=1e-6)
-    np.testing.assert_allclose(np.asarray(c), np.asarray(c_r), atol=1e-6)
-    assert hs.shape == (6, 9, 8)
-
-    def loss_f(x):
-        return jnp.sum(jnp.tanh(fused_lstm(x, params)[0]))
-
-    def loss_r(x):
-        return jnp.sum(jnp.tanh(_reference_lstm(x, params)[0]))
-
-    np.testing.assert_allclose(
-        np.asarray(jax.grad(loss_f)(x)),
-        np.asarray(jax.grad(loss_r)(x)),
-        atol=1e-5,
-    )
