@@ -27,6 +27,9 @@ class EpisodeData(NamedTuple):
     actions: jax.Array  # (T, act)
     rewards: jax.Array  # (T,)
     qpos: jax.Array  # (T, nq) generalized positions (for replay/video)
+    # generalized velocities: together with qpos these let a collector
+    # RESTART the env from any visited state (DAgger corrective data)
+    qvel: jax.Array = None
 
 
 def episode_rollout(
@@ -77,16 +80,18 @@ def episode_rollout(
         hist_u = jnp.roll(hist_u, -1, axis=0).at[-1].set(
             normalizer.normalize_action(u)
         )
-        qpos = env_state.qpos
+        qpos, qvel = env_state.qpos, env_state.qvel
         env_state, reward = env.step(env_params, env_state, u)
-        return (env_state, hist_x, hist_u), (obs, u, reward, qpos)
+        return (env_state, hist_x, hist_u), (obs, u, reward, qpos, qvel)
 
-    _, (states, actions, rewards, qpos) = jax.lax.scan(
+    _, (states, actions, rewards, qpos, qvel) = jax.lax.scan(
         step_fn,
         (init_state, hist_x0, hist_u0),
         jax.random.split(k_noise, num_steps),
     )
-    return EpisodeData(states=states, actions=actions, rewards=rewards, qpos=qpos)
+    return EpisodeData(
+        states=states, actions=actions, rewards=rewards, qpos=qpos, qvel=qvel
+    )
 
 
 def batched_rollout(
@@ -160,13 +165,13 @@ def batch_policy_rollout(
         hist_u = jnp.roll(hist_u, -1, axis=1).at[:, -1].set(
             normalizer.normalize_action(u)
         )
-        qpos = env_states.qpos
+        qpos, qvel = env_states.qpos, env_states.qvel
         env_states, reward = jax.vmap(
             lambda s, a: env.step(env_params, s, a)
         )(env_states, u)
-        return (env_states, hist_x, hist_u), (obs, u, reward, qpos)
+        return (env_states, hist_x, hist_u), (obs, u, reward, qpos, qvel)
 
-    _, (states, actions, rewards, qpos) = jax.lax.scan(
+    _, (states, actions, rewards, qpos, qvel) = jax.lax.scan(
         step_fn,
         (init_states, hist_x0, hist_u0),
         jax.random.split(k_noise, num_steps),
@@ -178,6 +183,7 @@ def batch_policy_rollout(
         actions=to_env_major(actions),
         rewards=to_env_major(rewards),
         qpos=to_env_major(qpos),
+        qvel=to_env_major(qvel),
     )
 
 

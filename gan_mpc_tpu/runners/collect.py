@@ -274,3 +274,100 @@ def collect_expert_trajectories(
         rewards=np.asarray(rs),
         executed_actions=np.asarray(ues),
     )
+
+
+def collect_dagger_trajectories(
+    env,
+    env_params,
+    policy,
+    policy_params,
+    normalizer,
+    key: jax.Array,
+    num_segments: int = 64,
+    segment_steps: int = 120,
+    policy_steps: int = 1000,
+    policy_episodes: int = 8,
+    noise_sigma: float = 0.25,
+    history: int = 1,
+    imitator_env=None,
+    imitator_env_params=None,
+) -> TrajectorySet:
+    """DAgger-style corrective expert data (framework extension; the
+    reference has no on-policy expert refresh — its predictor sees only
+    the external expert's visitation).
+
+    The failure mode this closes: the expert predictor generates the
+    planner's goals, and on states the IMITATOR visits but the expert
+    never does (post-fall capture, slow oscillation), those goals are
+    garbage — goal generation, not dynamics error, was measured as the
+    dominant quality loss (BENCHMARKS.md). Because the scripted experts
+    are universal controllers, we can query them anywhere: roll the
+    current imitator policy, sample states it actually visits, RESTART
+    the scripted expert from exactly those states (same qpos/qvel), and
+    log its corrective segments with the usual DART noise split (clean
+    logged / noisy executed).
+
+    Policy rollouts run in the IMITATOR env (where the policy acts);
+    expert segments run in the EXPERT env (where demonstrations live).
+    Everything is batched and jitted; returns the reference-schema
+    TrajectorySet whose windows merge into the predictor's dataset.
+    """
+    from gan_mpc_tpu.envs import base as env_base
+    from gan_mpc_tpu.envs.rollout import policy_rollout
+
+    k_roll, k_pick, k_noise = jax.random.split(key, 3)
+    ienv = imitator_env if imitator_env is not None else env
+    iparams = (
+        imitator_env_params if imitator_env_params is not None else env_params
+    )
+    episode = policy_rollout(
+        ienv,
+        iparams,
+        policy,
+        policy_params,
+        normalizer,
+        k_roll,
+        num_steps=policy_steps,
+        history=history,
+        num_envs=policy_episodes,
+    )
+    nq = episode.qpos.shape[-1]
+    qpos = jnp.reshape(episode.qpos, (-1, nq))
+    qvel = jnp.reshape(episode.qvel, (-1, nq))
+    idx = jax.random.choice(
+        k_pick, qpos.shape[0], shape=(num_segments,), replace=False
+    )
+    expert = scripted_expert(env)
+
+    def seg(q, qd, k):
+        s0 = env_base.EnvState(
+            qpos=q.astype(jnp.float32),
+            qvel=qd.astype(jnp.float32),
+            t=jnp.int32(0),
+        )
+
+        def body(s, kk):
+            obs = env.observe(env_params, s)
+            u_clean = expert(None, obs[None], None)
+            u_exec = jnp.clip(
+                u_clean + noise_sigma * jax.random.normal(kk, u_clean.shape),
+                -1.0,
+                1.0,
+            )
+            s, r = env.step(env_params, s, u_exec)
+            return s, (obs, u_clean, u_exec, r)
+
+        _, (xs, us, ues, rs) = jax.lax.scan(
+            body, s0, jax.random.split(k, segment_steps)
+        )
+        return xs, us, ues, rs
+
+    xs, us, ues, rs = jax.jit(
+        lambda q, qd, ks: jax.vmap(seg)(q, qd, ks)
+    )(qpos[idx], qvel[idx], jax.random.split(k_noise, num_segments))
+    return TrajectorySet(
+        states=np.asarray(xs),
+        actions=np.asarray(us),
+        rewards=np.asarray(rs),
+        executed_actions=np.asarray(ues),
+    )

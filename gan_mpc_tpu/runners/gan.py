@@ -150,6 +150,132 @@ def _run_fused_epochs(
             if log_fn is not None:
                 log_fn(f"[gan/fused] epoch {epoch} eval_reward {mid:.1f}"
                        f" (best {best_eval:.1f})")
+    return params, opt_states, replay, key, best_eval, best_params
+
+
+def _dagger_rounds(
+    config, ctx, params, opts, opt_states, replay, key, history, metrics,
+    log_fn, best_eval, best_params,
+):
+    """DAgger expert-predictor refinement (framework extension; no
+    reference counterpart — its predictor only ever sees the external
+    expert's visitation). Per round: collect corrective scripted-expert
+    segments from states the CURRENT best policy visits
+    (collect.collect_dagger_trajectories), fine-tune the expert predictor
+    on base + corrective windows, then continue adversarial training for
+    ``extra_epochs`` with the refreshed goal generator. Returns the
+    updated (params, replay, key, best_eval, best_params)."""
+    dag = config.get_path("expert_prediction.dagger")
+    if dag is None or dag.get_path("rounds", 0) <= 0:
+        return params, replay, key, best_eval, best_params
+    import jax.numpy as jnp
+    import optax
+
+    from gan_mpc_tpu.data.windows import split_sequence_windows
+    from gan_mpc_tpu.runners.collect import collect_dagger_trajectories
+    from gan_mpc_tpu.training.expert import train_expert
+
+    tcfg = config.expert_prediction.train
+    norm = ctx["normalizer"]
+    trajs = ctx["trajs"]
+    base_states = jnp.asarray(norm.normalize_state(jnp.asarray(trajs.states)))
+    base_actions = jnp.asarray(
+        norm.normalize_action(jnp.asarray(trajs.actions))
+    )
+    expert_model = ctx["policy"].expert_model
+    for rnd in range(1, dag.get_path("rounds", 0) + 1):
+        key, k_col, k_win, k_ft = jax.random.split(key, 4)
+        if best_params is not None:
+            params = best_params
+        dtrajs = collect_dagger_trajectories(
+            ctx["env"],
+            ctx["env"].default_params(),
+            ctx["policy"],
+            params,
+            norm,
+            k_col,
+            num_segments=dag.get_path("num_segments", 256),
+            segment_steps=dag.get_path("segment_steps", 120),
+            policy_steps=config.get_path(
+                "mpc.evaluate.max_interactions", 1000
+            ),
+            policy_episodes=dag.get_path("policy_episodes", 8),
+            noise_sigma=config.get_path("env.expert_noise", 0.25),
+            history=config.mpc.history,
+            imitator_env=ctx["env_im"],
+            imitator_env_params=ctx["env_im_params"],
+        )
+        d_states = jnp.asarray(
+            norm.normalize_state(jnp.asarray(dtrajs.states))
+        )
+        d_actions = jnp.asarray(
+            norm.normalize_action(jnp.asarray(dtrajs.actions))
+        )
+        seqlen = tcfg.seqlen
+        bt, bv = split_sequence_windows(
+            base_states, base_actions, seqlen, k_win,
+            start_oversample=tcfg.get_path("start_oversample", 20),
+        )
+        dt, dv = split_sequence_windows(
+            d_states, d_actions, seqlen, jax.random.fold_in(k_win, 1)
+        )
+        train_data = tuple(
+            jnp.concatenate([a, b]) for a, b in zip(bt, dt)
+        )
+        test_data = tuple(jnp.concatenate([a, b]) for a, b in zip(bv, dv))
+        tx = optax.chain(
+            optax.clip_by_global_norm(100.0),
+            optax.adam(dag.get_path("finetune_lr", 5e-5)),
+        )
+        eparams, _, _, ft_test = train_expert(
+            expert_model,
+            params["expert_params"],
+            tx,
+            tx.init(params["expert_params"]),
+            train_data,
+            test_data,
+            num_epochs=dag.get_path("finetune_epochs", 6),
+            batch_size=tcfg.batch_size,
+            key=k_ft,
+            discount_factor=tcfg.discount_factor,
+            teacher_forcing_factor=1.0,
+            log_fn=None,
+        )
+        params = dict(params, expert_params=eparams)
+        metrics.record(rnd, dagger_round=rnd, dagger_test_loss=float(ft_test))
+        if log_fn is not None:
+            log_fn(
+                f"[gan/dagger] round {rnd}: "
+                f"{dtrajs.states.shape[0]} corrective segments, "
+                f"predictor test loss {float(ft_test):.5f}"
+            )
+        extra = dag.get_path("extra_epochs", 10)
+        if extra > 0:
+            d = config.to_dict()
+            d["mpc"]["train"]["num_epochs"] = extra
+            d["mpc"]["train"]["dynamics"]["warm_start_updates"] = 0
+            cfg2 = Config.from_dict(d)
+            params, opt_states, replay, key, be, bp = _run_fused_epochs(
+                cfg2, ctx, params, opts, opt_states, replay, key,
+                {k: [] for k in (
+                    "dynamics_train_losses", "critic_train_losses",
+                    "critic_test_losses", "cost_train_losses",
+                    "cost_test_losses", "episode_returns",
+                )},
+                metrics, log_fn, ckpt=None, start_epoch=1,
+            )
+            if be >= best_eval:
+                best_eval, best_params = be, bp
+        else:
+            # no continuation: let the refreshed predictor stand on its own
+            key, k_mid = jax.random.split(key)
+            ctx["params"] = params
+            mid = l2_runner.evaluate(
+                config, ctx, k_mid,
+                num_runs=config.get_path("mpc.evaluate.midrun_episodes", 3),
+            )
+            if mid >= best_eval:
+                best_eval, best_params = mid, params
     return params, replay, key, best_eval, best_params
 
 
@@ -221,9 +347,15 @@ def run(config: Config, log_fn=print):
             "critic": critic_opt_state,
             "cost": cost_opt_state,
         }
-        params, replay, key, best_eval, best_params = _run_fused_epochs(
+        params, opt_states_d, replay, key, best_eval, best_params = (
+            _run_fused_epochs(
+                config, ctx, params, opts, opt_states_d, replay, key,
+                history, metrics, log_fn, ckpt=ckpt, start_epoch=start_epoch,
+            )
+        )
+        params, replay, key, best_eval, best_params = _dagger_rounds(
             config, ctx, params, opts, opt_states_d, replay, key,
-            history, metrics, log_fn, ckpt=ckpt, start_epoch=start_epoch,
+            history, metrics, log_fn, best_eval, best_params,
         )
         start_epoch = tcfg.num_epochs + 1  # skip the modular loop
     profile_dir = config.get_path("runtime.profile_dir")

@@ -101,6 +101,7 @@ def setup(config: Config, with_critic: bool = False):
     return dict(
         key=key,
         env=env,
+        trajs=trajs,
         env_im=env_im,
         env_im_params=env_im_params,
         policy=policy,

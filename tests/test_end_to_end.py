@@ -131,6 +131,42 @@ def test_gan_runner_end_to_end(expert_result, tiny_config):
     assert all(v == v for v in h["cost_train_losses"])
 
 
+def test_gan_runner_dagger_rounds(expert_result, tiny_config):
+    """DAgger refinement: corrective collection + predictor fine-tune +
+    continued adversarial training must run end to end and move the
+    expert predictor params (which are frozen everywhere else)."""
+    from gan_mpc_tpu.runners import gan
+
+    cfg = tiny_config.replace(
+        runtime__fused_epochs=True,
+        expert_prediction__dagger={
+            "rounds": 1,
+            "num_segments": 6,
+            "segment_steps": 10,
+            "policy_episodes": 2,
+            "finetune_epochs": 1,
+            # 0 keeps the test off the second fused-epoch compile (the
+            # continuation reuses the SAME _run_fused_epochs the main
+            # loop already covers); the no-continuation eval branch runs
+            "extra_epochs": 0,
+        },
+        mpc__evaluate__every_epochs=1,
+        mpc__evaluate__midrun_episodes=1,
+    )
+    out = gan.run(cfg, log_fn=None)
+    assert out["avg_reward"] >= 0.0
+    # the predictor was refined: expert_params moved from the pretrained
+    # checkpoint (everywhere else they are optax-masked frozen)
+    import jax.numpy as jnp
+
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()),
+        expert_result["params"],
+        out["params"]["expert_params"],
+    )
+    assert max(jax.tree_util.tree_leaves(moved)) > 0.0
+
+
 def test_l2_deterministic_given_seed(tiny_config, expert_result):
     """Same seed -> identical training result (PRNG discipline)."""
     from gan_mpc_tpu.runners import l2
