@@ -44,6 +44,7 @@ class MPCPolicy:
         settings: SolverSettings = SolverSettings(),
         bilevel_solver: str = "dense",
         bilevel_ridge: float = 1e-5,
+        goal_projection: int = 0,
     ):
         self.cost_model = cost_model
         self.dynamics_model = dynamics_model
@@ -52,6 +53,7 @@ class MPCPolicy:
         self.horizon = horizon
         self.x_size = dynamics_model.x_size
         self.settings = settings
+        self.goal_projection = goal_projection
 
         # Stage and terminal costs split so the terminal net is evaluated
         # once per rollout, not at every step (the combined jnp.where form
@@ -130,6 +132,44 @@ class MPCPolicy:
             params["expert_params"], carry, self.horizon
         )
 
+    def project_goals(self, dynamics_params, xc0, goal_xseq, init_useq):
+        """Project expert-predicted goals onto the learned dynamics'
+        REACHABLE manifold (framework extension; no reference
+        counterpart).
+
+        Under domain shift the expert's states can be dynamically
+        infeasible for the imitator's body (measured on cheetah with 3x
+        torso mass: goal-tracking then tops out near the expert's own
+        degraded score — BENCHMARKS.md). This pre-pass greedily tracks
+        the goals THROUGH the learned (shifted) dynamics: per step, a few
+        damped Gauss-Newton iterations find the action whose predicted
+        next state is closest to the goal, the state advances through the
+        model, and the reachable states replace the goals. The returned
+        action sequence (which already tracks the projected goals)
+        replaces the expert warm start. Differentiable; O(H x
+        goal_projection) extra dynamics evaluations per plan."""
+        dyn, xs = self.dynamics_model, self.x_size
+        u_dim = init_useq.shape[-1]
+        eye = 1e-6 * jnp.eye(u_dim, dtype=jnp.float32)
+
+        def step(xc, inp):
+            g_next, u0 = inp
+
+            def resid(u):
+                return dyn(xc, u, 0, dynamics_params)[:xs] - g_next
+
+            u = u0
+            for _ in range(self.goal_projection):
+                r = resid(u)
+                J = jax.jacfwd(resid)(u)  # (x, u)
+                u = u - jnp.linalg.solve(J.T @ J + eye, J.T @ r)
+            u = jnp.clip(u, -1.0, 1.0)
+            xc_next = dyn(xc, u, 0, dynamics_params)
+            return xc_next, (xc_next[:xs], u)
+
+        _, (G, U) = jax.lax.scan(step, xc0, (goal_xseq[1:], init_useq))
+        return jnp.concatenate([goal_xseq[:1], G], axis=0), U
+
     def plan(
         self,
         params: dict,
@@ -150,6 +190,10 @@ class MPCPolicy:
         else:
             carry = self.dynamics_model.zero_carry()
         xc0 = jnp.concatenate([history_x[-1], carry], axis=-1)
+        if self.goal_projection > 0:
+            goal_xseq, init_useq = self.project_goals(
+                params["dynamics_params"], xc0, goal_xseq, init_useq
+            )
         return self._plan(
             self._theta(params), xc0, init_useq, (goal_xseq,), ()
         )
@@ -186,6 +230,12 @@ class MPCPolicy:
         goal_X, init_U = jax.vmap(
             lambda hx: self.goals_and_warm_start(params, hx)
         )(history_X)
+        if self.goal_projection > 0:
+            goal_X, init_U = jax.vmap(
+                lambda x0, g, u: self.project_goals(
+                    params["dynamics_params"], x0, g, u
+                )
+            )(history_X[:, -1], goal_X, init_U)
         goal_tm = jnp.swapaxes(goal_X, 0, 1)  # (T+1, B, x) time-major
         theta_c, theta_w = params["cost_params"], params["mpc_weights"]
         theta_d = params["dynamics_params"]

@@ -153,6 +153,7 @@ def build_policy(
         horizon=horizon,
         settings=solver_settings(config),
         bilevel_solver=config.get_path("mpc.solver.bilevel", "dense"),
+        goal_projection=config.get_path("mpc.goal_projection_iters", 0),
     )
     weights_cfg = config.mpc.model.cost.weights
     mpc_weights = (weights_cfg.action, weights_cfg.state, weights_cfg.terminal)

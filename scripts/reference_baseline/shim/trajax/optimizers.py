@@ -19,7 +19,11 @@ import math
 import jax
 import jax.numpy as jnp
 
-from gan_mpc_tpu.planner import ilqr as _planner
+import importlib
+
+# the MODULE gan_mpc_tpu/planner/ilqr.py (the package re-exports a
+# same-named function, so a from-import would grab the function)
+_planner = importlib.import_module("gan_mpc_tpu.planner.ilqr")
 
 
 def pad(U: jax.Array) -> jax.Array:
@@ -62,18 +66,36 @@ def ilqr(
     alpha_min, as trajax's does.
     """
     del relative_grad_norm_threshold, inputs_step_threshold, make_psd
+
+    # The reference passes its solver kwargs as a JIT ARGUMENT
+    # (policy/optimizers.py:34-46), so inside the trace they are traced
+    # scalars; this solver's knobs are static. The reference only ever
+    # uses one configuration (policy/eval.py:10-20), so a traced knob is
+    # substituted by that documented default — behaviorally identical
+    # for the reference pipeline.
+    def conc(v, default):
+        try:
+            return float(v)
+        except Exception:
+            return float(default)
+
+    maxiter = int(conc(maxiter, 100))
+    grad_norm_threshold = conc(grad_norm_threshold, 1e-4)
+    obj_step_threshold = conc(obj_step_threshold, 0.0)
+    psd_delta = conc(psd_delta, 0.0)
+    alpha_0, alpha_min = conc(alpha_0, 1.0), conc(alpha_min, 5e-5)
     if alpha_min < alpha_0:
         num_alphas = int(math.ceil(math.log(alpha_min / alpha_0, 0.5))) + 1
     else:
         num_alphas = 1
     settings = _planner.SolverSettings(
-        max_iterations=int(maxiter),
-        grad_norm_tol=float(grad_norm_threshold),
-        obj_step_tol=float(obj_step_threshold),
-        alpha_0=float(alpha_0),
+        max_iterations=maxiter,
+        grad_norm_tol=grad_norm_threshold,
+        obj_step_tol=obj_step_threshold,
+        alpha_0=alpha_0,
         alpha_decay=0.5,
         num_alphas=num_alphas,
-        psd_delta=float(psd_delta),
+        psd_delta=psd_delta,
     )
     sol = _planner.ilqr(cost, dynamics, x0, U, settings)
     lqr = ()  # unpacked but never used by the reference
