@@ -67,9 +67,12 @@ def build_sandbox(workdir: str) -> str:
     return pkg
 
 
-def patch_configs(pkg: str, episodes: int) -> None:
+def patch_configs(pkg: str, episodes: int, boost: bool = False) -> None:
     """Reference YAMLs with the minimal runnable edits (no copies kept
-    in the repo; regenerated from /root/reference at run time)."""
+    in the repo; regenerated from /root/reference at run time).
+    ``boost`` raises the reference's training budget/learning rates to
+    this repo's quality-recipe scale (its shipped defaults are 2 epochs
+    at lr 1e-5) so the baseline also gets a sporting-chance row."""
     import yaml
 
     for name in ("l2_hyperparameters.yaml", "gan_hyperparameters.yaml"):
@@ -79,6 +82,12 @@ def patch_configs(pkg: str, episodes: int) -> None:
         cfg["mpc"]["model"]["expert"]["load_id"] = "0"
         cfg["mpc"]["evaluate"]["save_video"] = False  # no GL/X11 here
         cfg["mpc"]["evaluate"]["num_runs_for_avg"] = episodes
+        if boost:
+            t = cfg["mpc"]["train"]
+            t["num_epochs"] = 30
+            t["cost"]["learning_rate"] = 1.0e-4
+            t["dynamics"]["learning_rate"] = 1.0e-4
+            t["dynamics"]["num_updates"] = 12
         with open(os.path.join(pkg, "config", name), "w") as fp:
             yaml.safe_dump(cfg, fp)
     # load_config.py reads via gan_mpc.utils._MAIN_DIR_PATH, which is the
@@ -140,6 +149,7 @@ def collect_expert_data(pkg: str, num_eps=8, steps=1000, noise=0.25) -> str:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--gan", action="store_true")
+    ap.add_argument("--boost", action="store_true")
     ap.add_argument("--episodes", type=int, default=10)
     ap.add_argument(
         "--workdir", default=os.path.join(_REPO, "runs", "reference_baseline")
@@ -149,7 +159,7 @@ def main():
     os.makedirs(args.workdir, exist_ok=True)
     pkg = build_sandbox(args.workdir)
     sys.path.insert(0, args.workdir)  # makes `import gan_mpc` resolve
-    patch_configs(pkg, args.episodes)
+    patch_configs(pkg, args.episodes, boost=args.boost)
     collect_expert_data(pkg)
 
     import jax
@@ -192,7 +202,7 @@ def main():
     runs = sorted(os.listdir(imit_dir), key=int)
     with open(os.path.join(imit_dir, runs[-1], "config.json")) as fp:
         cfg = json.load(fp)
-    print(f"[reference] {fam} avg_reward: {cfg['avg_reward']} "
+    print(f"[reference] {fam} reward: {cfg['reward']} "
           f"(run {runs[-1]}, {args.episodes} episodes)")
 
 

@@ -1,12 +1,25 @@
-"""Tune a humanoid walking gait by CEM over the differentiable engine.
+"""Tune a humanoid walking gait over the differentiable engine.
 
-Controller = the CEM-tuned stand balance policy (runners/collect.py)
-plus an open-loop phase gait (antiphase hip swing, knee flexion on the
-swing leg, ankle push-off) — the same balance-feedback + time-indexed
-CPG split that produced the cheetah gait. Gait parameters searched:
-  w: freq, hip_amp, knee_amp, ankle_amp, knee_phase, ankle_phase,
-     lean (forward waist bias), balance_scale
-Usage: python scripts/tune_humanoid_walk.py [iters]
+Two controller parameterizations:
+
+  * ``small`` (round 2): the CEM-tuned stand balance policy
+    (runners/collect.py) plus an 8-parameter open-loop phase gait
+    (antiphase hip swing, knee flexion on the swing leg, ankle
+    push-off). Plateaued at 186.8/500 — too few degrees of freedom for
+    a real gait.
+  * ``full`` (round 3, default): balance blend + a per-actuator CPG
+    ``u_i += amp_i * sin(2 pi f t dt + phase_i)`` over all 12 actuators
+    (27 params) — the same parameterization class as the cheetah gait
+    that works (runners/collect.py _CHEETAH_GAIT), warm-started from the
+    round-2 small-space optimum.
+
+Search = CEM (evaluations batched on device), optionally followed by an
+Adam polish on the analytic episode-return gradient through the
+differentiable engine (--polish N) — we own the physics, so BPTT through
+contacts is one jax.grad.
+
+Usage: python scripts/tune_humanoid_walk.py [iters] [--small] [--polish N]
+       [--steps N]
 """
 
 import sys
@@ -22,20 +35,25 @@ from gan_mpc_tpu.runners.collect import (
     humanoid_balance_policy,
 )
 
-ITERS = int(sys.argv[1]) if len(sys.argv) > 1 else 30
-POP, SEEDS, STEPS, ELITE = 96, 4, 500, 10
+args = [a for a in sys.argv[1:]]
+ITERS = int(args[0]) if args and args[0].isdigit() else 40
+SMALL = "--small" in args
+POLISH = int(args[args.index("--polish") + 1]) if "--polish" in args else 0
+STEPS = int(args[args.index("--steps") + 1]) if "--steps" in args else 500
+POP, SEEDS, ELITE = 128, 4, 12
 
 env = make_env("humanoid_walk")
 P = env.default_params()
 G_STAND = jnp.asarray(_HUMANOID_STAND_GAINS)
 
-# best from the round-2 35-iteration search (186.8/500): slow forward
-# shuffle; restart CEM from here.
-W0 = jnp.array([2.1968, 0.3703, -0.2143, 0.2345, 0.8791, 5.1957, -0.0852, 1.9435])
-SIG0 = jnp.array([0.5, 0.25, 0.25, 0.15, 1.0, 1.0, 0.1, 0.3])
+# round-2 best of the small space (186.8/500): slow forward shuffle
+W0_SMALL = jnp.array(
+    [2.1968, 0.3703, -0.2143, 0.2345, 0.8791, 5.1957, -0.0852, 1.9435]
+)
+SIG0_SMALL = jnp.array([0.5, 0.25, 0.25, 0.15, 1.0, 1.0, 0.1, 0.3])
 
 
-def walk_action(w, obs, t, dt):
+def walk_action_small(w, obs, t, dt):
     u = w[7] * humanoid_balance_policy(G_STAND, obs, env)
     ph = 2.0 * jnp.pi * w[0] * t * dt
     s = jnp.sin(ph)
@@ -47,6 +65,44 @@ def walk_action(w, obs, t, dt):
     u = u.at[4].add(w[3] * a_s).at[7].add(-w[3] * a_s)
     u = u.at[0].add(-w[6])  # forward lean
     return jnp.clip(u, -1.0, 1.0)
+
+
+# full space: [freq, lean, balance_scale, amp(12), phase(12)]
+def _full_init():
+    amp = jnp.zeros(12)
+    phase = jnp.zeros(12)
+    w = W0_SMALL
+    # hips antiphase
+    amp = amp.at[2].set(w[1]).at[5].set(w[1])
+    phase = phase.at[5].set(jnp.pi)
+    # knees: the rectified swing-leg flexion of the small space maps to
+    # antiphase sin at half amplitude
+    amp = amp.at[3].set(0.5 * w[2]).at[6].set(0.5 * w[2])
+    phase = phase.at[3].set(w[4]).at[6].set(w[4] + jnp.pi)
+    # ankles antiphase push-off
+    amp = amp.at[4].set(w[3]).at[7].set(w[3])
+    phase = phase.at[4].set(w[5]).at[7].set(w[5] + jnp.pi)
+    mu = jnp.concatenate(
+        [jnp.array([w[0], w[6], w[7]]), amp, phase]
+    )
+    sig = jnp.concatenate(
+        [jnp.array([0.4, 0.1, 0.3]), 0.15 * jnp.ones(12),
+         0.8 * jnp.ones(12)]
+    )
+    return mu, sig
+
+
+def walk_action_full(w, obs, t, dt):
+    freq, lean, bal = w[0], w[1], w[2]
+    amp, phase = w[3:15], w[15:27]
+    u = bal * humanoid_balance_policy(G_STAND, obs, env)
+    ph = 2.0 * jnp.pi * freq * t * dt
+    u = u + amp * jnp.sin(ph + phase)
+    u = u.at[0].add(-lean)
+    return jnp.clip(u, -1.0, 1.0)
+
+
+walk_action = walk_action_small if SMALL else walk_action_full
 
 
 def episode(w, key):
@@ -70,12 +126,26 @@ def score(ws, key):
     )(ws)
 
 
+@jax.jit
+def mean_return_and_grad(w, key):
+    ks = jax.random.split(key, SEEDS)
+
+    def f(w):
+        return jnp.mean(jax.vmap(lambda k: episode(w, k))(ks))
+
+    return jax.value_and_grad(f)(w)
+
+
 def main():
-    mu, sig = W0, SIG0
-    best_w, best_r = W0, -jnp.inf
+    if SMALL:
+        mu, sig = W0_SMALL, SIG0_SMALL
+    else:
+        mu, sig = _full_init()
+    best_w, best_r = mu, -jnp.inf
     for it in range(ITERS):
         k1 = jax.random.PRNGKey(1000 + it)
         pop = mu + sig * jax.random.normal(k1, (POP, mu.shape[0]))
+        pop = pop.at[0].set(best_w)  # elitism: keep the incumbent alive
         rs = score(pop, jax.random.PRNGKey(it))
         elite = pop[jnp.argsort(-rs)[:ELITE]]
         mu = jnp.mean(elite, axis=0)
@@ -85,8 +155,29 @@ def main():
             best_r, best_w = r_best, pop[int(jnp.argmax(rs))]
         print(
             f"it {it:2d}: best {r_best:7.1f} (global {best_r:7.1f}/"
-            f"{STEPS}) mu {float(jnp.mean(rs)):7.1f}"
+            f"{STEPS}) mu {float(jnp.mean(rs)):7.1f}",
+            flush=True,
         )
+
+    if POLISH > 0:
+        import optax
+
+        opt = optax.adam(3e-3)
+        w, st = best_w, opt.init(best_w)
+        for it in range(POLISH):
+            r, g = mean_return_and_grad(w, jax.random.PRNGKey(5000 + it))
+            upd, st = opt.update(
+                jax.tree_util.tree_map(lambda x: -x, g), st, w
+            )
+            w = optax.apply_updates(w, upd)
+            r_eval = float(
+                jnp.mean(score(w[None], jax.random.PRNGKey(9000 + it))[0])
+            )
+            if r_eval > best_r:
+                best_r, best_w = r_eval, w
+            print(f"polish {it:2d}: return {float(r):7.1f} "
+                  f"(eval {r_eval:7.1f}, global {best_r:7.1f})", flush=True)
+
     print("\nbest w:", [round(float(v), 4) for v in best_w])
     print("best return:", best_r, "/", STEPS)
 
