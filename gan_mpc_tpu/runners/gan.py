@@ -147,6 +147,7 @@ def _run_fused_epochs(
             )
             if mid >= best_eval:
                 best_eval, best_params = mid, params
+            l2_runner.note_candidate(ctx, mid, params)
             if log_fn is not None:
                 log_fn(f"[gan/fused] epoch {epoch} eval_reward {mid:.1f}"
                        f" (best {best_eval:.1f})")
@@ -276,6 +277,7 @@ def _dagger_rounds(
             )
             if mid >= best_eval:
                 best_eval, best_params = mid, params
+            l2_runner.note_candidate(ctx, mid, params)
     return params, replay, key, best_eval, best_params
 
 
@@ -464,16 +466,16 @@ def run(config: Config, log_fn=print):
             )
             if mid >= best_eval:
                 best_eval, best_params = mid, params
+            l2_runner.note_candidate(ctx, mid, params)
             if log_fn is not None:
                 log_fn(f"[gan] epoch {epoch} eval_reward {mid:.1f}"
                        f" (best {best_eval:.1f})")
 
-    # Model selection (adversarial training is non-monotonic: measured
-    # 553 at 30 epochs vs 230 at 50 on pendulum without it).
-    if best_params is not None and config.get_path(
-        "mpc.evaluate.keep_best", True
-    ):
-        params = best_params
+    # Honest model selection: re-rank the top midrun checkpoints with the
+    # full evaluation budget (adversarial training is non-monotonic and
+    # midrun evals are noisy; see l2.select_best_params).
+    key, k_sel = jax.random.split(key)
+    params = l2_runner.select_best_params(config, ctx, params, k_sel, log_fn)
     ctx["params"] = params
     key, k_eval = jax.random.split(key)
     avg_reward = l2_runner.evaluate(config, ctx, k_eval)

@@ -159,6 +159,51 @@ def checkpointer_for(config: Config, family: str):
     )
 
 
+def note_candidate(ctx, score, params, k=4):
+    """Keep the top-k periodically-evaluated checkpoints as candidates
+    for the honest final selection (select_best_params)."""
+    pool = ctx.setdefault("candidates", [])
+    pool.append((float(score), params))
+    pool.sort(key=lambda sp: -sp[0])
+    del pool[k:]
+
+
+def select_best_params(config: Config, ctx, params, key, log_fn=None):
+    """Honest final model selection: re-evaluate the top-k midrun
+    checkpoints (plus the final params) with the FULL evaluation budget
+    and keep the winner.
+
+    Periodic midrun evals are cheap and noisy (3-5 episodes), and
+    adversarial training is non-monotonic — ranking by the noisy score
+    alone ships lucky checkpoints (measured: a 781-midrun checkpoint
+    re-evaluated at 518 over 8 episodes). The reference has no model
+    selection at all (params saved only at the end,
+    ``/root/reference/norm/runner.py:269``)."""
+    pool = ctx.get("candidates") or []
+    if not config.get_path("mpc.evaluate.keep_best", True) or not pool:
+        return params
+    cands = [p for _, p in pool]
+    cands.append(params)
+    # Extra episodes here are near-free: evaluate() batches all episodes
+    # into ONE vmapped rollout, so the selection budget mostly buys
+    # start-angle coverage (the diagnosed failure mode was fragility on
+    # a subset of start angles).
+    n_sel = config.get_path("mpc.evaluate.selection_episodes", None)
+    scores = []
+    for cand in cands:
+        key, sub = jax.random.split(key)
+        ctx["params"] = cand
+        scores.append(evaluate(config, ctx, sub, num_runs=n_sel))
+    best = max(range(len(scores)), key=scores.__getitem__)
+    if log_fn is not None:
+        log_fn(
+            "[select] honest re-rank of candidates: "
+            + ", ".join(f"{s:.1f}" for s in scores)
+            + f" -> keeping #{best}"
+        )
+    return cands[best]
+
+
 def dm_cross_eval(config: Config, ctx, log_fn=None):
     """Final-eval cross-check inside REAL dm_control (the reference's
     reward protocol, ``/root/reference/norm/runner.py:240-264``): rolls
@@ -327,6 +372,7 @@ def _run_fused_epochs(
             )
             if mid >= best_eval:
                 best_eval, best_params = mid, params
+            note_candidate(ctx, mid, params)
             if log_fn is not None:
                 log_fn(f"[l2/fused] epoch {epoch} eval_reward {mid:.1f}"
                        f" (best {best_eval:.1f})")
@@ -478,16 +524,15 @@ def run(config: Config, log_fn=print):
             )
             if mid >= best_eval:
                 best_eval, best_params = mid, params
+            note_candidate(ctx, mid, params)
             if log_fn is not None:
                 log_fn(f"[l2] epoch {epoch} eval_reward {mid:.1f}"
                        f" (best {best_eval:.1f})")
 
-    # Model selection: keep the best periodically-evaluated params
-    # (GAN-style training is non-monotonic; last is often not best).
-    if best_params is not None and config.get_path(
-        "mpc.evaluate.keep_best", True
-    ):
-        params = best_params
+    # Honest model selection: re-rank the top midrun checkpoints with the
+    # full evaluation budget (see select_best_params).
+    key, k_sel = jax.random.split(key)
+    params = select_best_params(config, ctx, params, k_sel, log_fn)
     ctx["params"] = params
     key, k_eval = jax.random.split(key)
     avg_reward = evaluate(config, ctx, k_eval)

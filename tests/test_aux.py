@@ -123,3 +123,42 @@ def test_debug_checks_and_interfaces():
     with debug_checks():
         assert jax.config.jax_debug_nans
     assert not jax.config.jax_debug_nans
+
+
+def test_candidate_pool_and_honest_selection(monkeypatch):
+    """note_candidate keeps the top-k noisy-scored checkpoints;
+    select_best_params re-ranks them (plus the final params) with the
+    full evaluation budget and keeps the honest winner — guarding
+    against lucky midrun evals (measured: 781 midrun -> 518 honest)."""
+    from gan_mpc_tpu.config import Config
+    from gan_mpc_tpu.runners import l2 as l2_runner
+
+    ctx = {}
+    # Noisy midrun scores; params are just labels here.
+    for score, tag in [(100.0, "a"), (781.0, "lucky"), (300.0, "b"),
+                       (250.0, "c"), (400.0, "d")]:
+        l2_runner.note_candidate(ctx, score, {"tag": tag}, k=3)
+    pool = ctx["candidates"]
+    assert [p["tag"] for _, p in pool] == ["lucky", "d", "b"]
+
+    # Honest full-budget evals disagree with the noisy ranking.
+    honest = {"lucky": 518.0, "d": 610.0, "b": 420.0, "final": 95.0}
+
+    def fake_evaluate(config, c, key, num_runs=None):
+        return honest[c["params"]["tag"]]
+
+    monkeypatch.setattr(l2_runner, "evaluate", fake_evaluate)
+    cfg = Config.from_dict({"mpc": {"evaluate": {"keep_best": True}}})
+    import jax
+
+    out = l2_runner.select_best_params(
+        cfg, ctx, {"tag": "final"}, jax.random.PRNGKey(0)
+    )
+    assert out["tag"] == "d"
+
+    # keep_best=False returns the final params untouched.
+    cfg_off = Config.from_dict({"mpc": {"evaluate": {"keep_best": False}}})
+    out2 = l2_runner.select_best_params(
+        cfg_off, ctx, {"tag": "final"}, jax.random.PRNGKey(0)
+    )
+    assert out2["tag"] == "final"
