@@ -147,7 +147,7 @@ def _run_fused_epochs(
             )
             if mid >= best_eval:
                 best_eval, best_params = mid, params
-            l2_runner.note_candidate(ctx, mid, params)
+            l2_runner.note_candidate(ctx, mid, params, config=config)
             if log_fn is not None:
                 log_fn(f"[gan/fused] epoch {epoch} eval_reward {mid:.1f}"
                        f" (best {best_eval:.1f})")
@@ -277,7 +277,7 @@ def _dagger_rounds(
             )
             if mid >= best_eval:
                 best_eval, best_params = mid, params
-            l2_runner.note_candidate(ctx, mid, params)
+            l2_runner.note_candidate(ctx, mid, params, config=config)
     return params, replay, key, best_eval, best_params
 
 
@@ -466,7 +466,7 @@ def run(config: Config, log_fn=print):
             )
             if mid >= best_eval:
                 best_eval, best_params = mid, params
-            l2_runner.note_candidate(ctx, mid, params)
+            l2_runner.note_candidate(ctx, mid, params, config=config)
             if log_fn is not None:
                 log_fn(f"[gan] epoch {epoch} eval_reward {mid:.1f}"
                        f" (best {best_eval:.1f})")

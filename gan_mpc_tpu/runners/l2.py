@@ -159,9 +159,15 @@ def checkpointer_for(config: Config, family: str):
     )
 
 
-def note_candidate(ctx, score, params, k=4):
+def note_candidate(ctx, score, params, k=4, config=None):
     """Keep the top-k periodically-evaluated checkpoints as candidates
-    for the honest final selection (select_best_params)."""
+    for the honest final selection (select_best_params).
+
+    Midrun scores are noisy, so the pool size trades recall (a truly
+    good checkpoint with one unlucky midrun still enters) against final
+    re-rank cost; `mpc.evaluate.candidate_pool` overrides k."""
+    if config is not None:
+        k = config.get_path("mpc.evaluate.candidate_pool", k)
     pool = ctx.setdefault("candidates", [])
     pool.append((float(score), params))
     pool.sort(key=lambda sp: -sp[0])
@@ -372,7 +378,7 @@ def _run_fused_epochs(
             )
             if mid >= best_eval:
                 best_eval, best_params = mid, params
-            note_candidate(ctx, mid, params)
+            note_candidate(ctx, mid, params, config=config)
             if log_fn is not None:
                 log_fn(f"[l2/fused] epoch {epoch} eval_reward {mid:.1f}"
                        f" (best {best_eval:.1f})")
@@ -524,7 +530,7 @@ def run(config: Config, log_fn=print):
             )
             if mid >= best_eval:
                 best_eval, best_params = mid, params
-            note_candidate(ctx, mid, params)
+            note_candidate(ctx, mid, params, config=config)
             if log_fn is not None:
                 log_fn(f"[l2] epoch {epoch} eval_reward {mid:.1f}"
                        f" (best {best_eval:.1f})")
