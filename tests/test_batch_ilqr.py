@@ -197,13 +197,36 @@ def test_plan_batch_close_to_vmapped_plan(flagship):
 
 
 def test_solve_spd_matches_lu():
-    for m in (1, 2, 4, 6, 8):
+    # m <= 8 exercises the unrolled path; m > 8 the rolled fori_loop
+    # path (the dense bilevel solve's (T*m)^2 systems — must stay
+    # custom-call-free so fused CPU epochs compile, see planner/linalg).
+    for m in (1, 2, 4, 6, 8, 10, 24, 60):
         k = jax.random.fold_in(KEY, m)
-        A = jax.random.normal(k, (32, m, m))
+        A = jax.random.normal(k, (8, m, m))
         A = A @ jnp.swapaxes(A, -1, -2) + 0.1 * jnp.eye(m)
-        B = jax.random.normal(jax.random.fold_in(k, 1), (32, m, m + 2))
+        B = jax.random.normal(jax.random.fold_in(k, 1), (8, m, m + 2))
         np.testing.assert_allclose(
             np.asarray(solve_spd(A, B)),
             np.asarray(jnp.linalg.solve(A, B)),
-            atol=5e-4,
+            atol=5e-3,
         )
+
+
+def test_solve_spd_rolled_is_differentiable():
+    # the dense bilevel IFT solve differentiates through solve_spd when
+    # the outer objective depends on theta through A(theta); the rolled
+    # path must support reverse mode (fori_loop with static trip count
+    # lowers to scan).
+    m = 12
+    k = jax.random.fold_in(KEY, 99)
+    A0 = jax.random.normal(k, (m, m))
+    A0 = A0 @ A0.T + 0.5 * jnp.eye(m)
+    b = jax.random.normal(jax.random.fold_in(k, 1), (m, 1))
+
+    def f(s):
+        return jnp.sum(solve_spd(A0 * s, b))
+
+    g = jax.grad(f)(1.0)
+    # d/ds sum((sA)^-1 b) = -sum(A^-1 b)/s^2 at s=1
+    expected = -jnp.sum(jnp.linalg.solve(A0, b))
+    np.testing.assert_allclose(np.asarray(g), np.asarray(expected), rtol=1e-4)
