@@ -291,6 +291,9 @@ def collect_dagger_trajectories(
     history: int = 1,
     imitator_env=None,
     imitator_env_params=None,
+    state_weighting: str = "uniform",
+    weight_power: float = 2.0,
+    weight_floor: float = 0.05,
 ) -> TrajectorySet:
     """DAgger-style corrective expert data (framework extension; the
     reference has no on-policy expert refresh — its predictor sees only
@@ -334,9 +337,28 @@ def collect_dagger_trajectories(
     nq = episode.qpos.shape[-1]
     qpos = jnp.reshape(episode.qpos, (-1, nq))
     qvel = jnp.reshape(episode.qvel, (-1, nq))
-    idx = jax.random.choice(
-        k_pick, qpos.shape[0], shape=(num_segments,), replace=False
-    )
+    if state_weighting == "reward_weighted":
+        # Focus the expert's corrective segments on the states where the
+        # policy is doing WORST. Uniform sampling over 1000-step episodes
+        # is dominated by the post-capture balanced band (reward ~1);
+        # the measured residual failure (BENCHMARKS.md round-3 ladder) is
+        # slow first swingup from near-hanging states (reward ~0), so
+        # weight each visited state by (1 - reward)^p + floor. dm-suite
+        # rewards live in [0, 1]; the floor keeps a trickle of easy-band
+        # segments so the refreshed predictor doesn't forget capture.
+        r = jnp.clip(jnp.reshape(episode.rewards, (-1,)), 0.0, 1.0)
+        w = (1.0 - r) ** weight_power + weight_floor
+        idx = jax.random.choice(
+            k_pick,
+            qpos.shape[0],
+            shape=(num_segments,),
+            replace=False,
+            p=w / jnp.sum(w),
+        )
+    else:
+        idx = jax.random.choice(
+            k_pick, qpos.shape[0], shape=(num_segments,), replace=False
+        )
     expert = scripted_expert(env)
 
     def seg(q, qd, k):

@@ -205,6 +205,9 @@ def _dagger_rounds(
             history=config.mpc.history,
             imitator_env=ctx["env_im"],
             imitator_env_params=ctx["env_im_params"],
+            state_weighting=dag.get_path("state_weighting", "uniform"),
+            weight_power=dag.get_path("weight_power", 2.0),
+            weight_floor=dag.get_path("weight_floor", 0.05),
         )
         d_states = jnp.asarray(
             norm.normalize_state(jnp.asarray(dtrajs.states))

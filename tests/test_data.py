@@ -177,3 +177,52 @@ def test_collection_reset_velocity_covers_moving_starts():
     # with sigma=2 at least one episode starts visibly mid-motion
     assert np.abs(ts.states[:, 0, 2]).max() > 0.5
     assert np.isfinite(ts.states).all()
+
+
+def test_dagger_reward_weighted_sampling_targets_failure_states():
+    """reward_weighted DAgger sampling must bias corrective-segment
+    start states toward the LOW-reward band the policy lingers in
+    (slow swingup), vs uniform sampling which mirrors visitation."""
+    from gan_mpc_tpu.data.normalizer import Normalizer
+    from gan_mpc_tpu.envs import make_env
+    from gan_mpc_tpu.runners.collect import (
+        collect_dagger_trajectories,
+        scripted_expert,
+    )
+
+    env = make_env("pendulum_swingup")
+    expert = scripted_expert(env)
+
+    class ExpertAsPolicy:
+        batch_native = False
+
+        def act(self, params, hist_x, hist_u):
+            return jnp.reshape(
+                expert(None, hist_x[-1][None], None), (env.act_size,)
+            )
+
+    norm = Normalizer.identity(env.obs_size, env.act_size)
+    common = dict(
+        num_segments=48,
+        segment_steps=5,
+        policy_steps=400,
+        policy_episodes=4,
+        history=1,
+    )
+    outs = {}
+    for mode in ("uniform", "reward_weighted"):
+        ts = collect_dagger_trajectories(
+            env,
+            env.default_params(),
+            ExpertAsPolicy(),
+            None,
+            norm,
+            jax.random.PRNGKey(3),
+            state_weighting=mode,
+            **common,
+        )
+        # pendulum obs = (cos th, sin th, thdot); start-state "height"
+        # cos(theta) ~ 1 means balanced (high reward), ~ -1 hanging
+        outs[mode] = float(np.mean(ts.states[:, 0, 0]))
+        assert np.isfinite(ts.states).all()
+    assert outs["reward_weighted"] < outs["uniform"] - 0.3, outs
