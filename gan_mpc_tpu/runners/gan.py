@@ -513,6 +513,10 @@ def run(config: Config, log_fn=print):
     l2_runner.maybe_save_video(config, ctx, run_dir, k_video)
     metrics.close()
     if ckpt is not None:
+        # run completed: clear the crash-resume state so the next fresh
+        # invocation trains from scratch instead of resuming a finished
+        # run's final checkpoint
+        ckpt.clear()
         ckpt.close()
     if log_fn is not None:
         log_fn(f"[gan] avg_reward {avg_reward:.2f} saved to {run_dir}")

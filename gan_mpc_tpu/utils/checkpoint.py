@@ -52,5 +52,14 @@ class TrainCheckpointer:
         )
         return self._mgr.restore(step, args=ocp.args.StandardRestore(target))
 
+    def clear(self):
+        """Delete all saved steps (call when a run COMPLETES: the run's
+        artifacts live under trained_models/, and a leftover final
+        checkpoint would make the next fresh invocation silently resume
+        — i.e. skip — a finished run)."""
+        for step in list(self._mgr.all_steps()):
+            self._mgr.delete(step)
+        self._mgr.wait_until_finished()
+
     def close(self):
         self._mgr.close()

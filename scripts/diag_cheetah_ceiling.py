@@ -1,0 +1,180 @@
+"""Diagnostic: cheetah shifted-env ceiling with TRUE physics in the loop.
+
+The open question (BENCHMARKS.md): GAN-MPC reaches 16.2 on the x3-torso
+shifted env vs the open-loop gait expert's own 27.4. Is the binding
+constraint (a) learned-dynamics error, or (b) the goals themselves
+(expert gait states infeasible for the heavier body)?
+
+This script plans through the TRUE (differentiable) SHIFTED physics —
+zero model error — while keeping the shipped run's trained expert
+predictor, cost net, and weights, and sweeps goal treatments:
+
+  * raw        — predictor goals exactly as in training
+  * proj2/6    — goals projected onto the TRUE dynamics' reachable set
+                 (upper bound for mpc.goal_projection_iters)
+  * stretch2   — half-speed goals: each goal held for 2 steps and goal
+                 velocities halved (a heavier body may need a slower
+                 gait than the demonstrated one)
+  * learned    — sanity row: the shipped policy as-is (expect ~16)
+
+If the true-physics rows stay near/below 27.4 the goals bind and the fix
+is goal-side (predictor adaptation, time-warping); if they beat 27.4 the
+gap is dynamics-model error and the fix is model-side.
+
+Usage: python scripts/diag_cheetah_ceiling.py [config] [run_dir]
+         [--envs N] [--steps N] [--variants a,b,c]
+"""
+
+import sys
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
+
+from gan_mpc_tpu.config import Config
+from gan_mpc_tpu.envs import base, make_env
+from gan_mpc_tpu.envs.rollout import batched_rollout
+from gan_mpc_tpu.planner import SolverSettings
+from gan_mpc_tpu.policies.mpc import MPCPolicy
+from gan_mpc_tpu.runners import common
+from gan_mpc_tpu.utils import io
+
+args = sys.argv[1:]
+
+
+def _opt(name, default, cast):
+    if name in args:
+        return cast(args[args.index(name) + 1])
+    return default
+
+
+CFG = next(
+    (a for a in args if a.endswith(".yaml")), "configs/gan_cheetah_quality.yaml"
+)
+RUN = next(
+    (a for a in args if "/gan/" in a or "/l2/" in a),
+    "runs/trained_models/imitator/cheetah_run/gan/0",
+)
+N_ENVS = _opt("--envs", 6, int)
+N_STEPS = _opt("--steps", 1000, int)
+VARIANTS = _opt("--variants", "raw,proj2,stretch2,learned", str).split(",")
+
+
+def main():
+    config = Config.from_yaml(CFG)
+    env = make_env(config.env.name)
+    env_im, p_im = common.imitator_env(config)
+    trajs = common.ensure_trajectories(config)
+    norm = common.build_normalizer(config, trajs)
+    policy, template = common.build_policy(
+        config, env.obs_size, env.act_size, with_critic=True
+    )
+    params = io.load_params(template, RUN + "/params.msgpack")
+    mu, sd = norm.state_mean, norm.state_std
+    nq = env.default_params().__dict__ and None  # doc: planar nq below
+
+    class TrueShiftedDynamics:
+        """True shifted-env physics as planner dynamics over the
+        NORMALIZED observation [qpos[1:], qvel] (x dropped: translation
+        invariance closes the obs dynamics)."""
+
+        x_size = env.obs_size
+        carry_size = 0
+        is_batch_native = False
+
+        def __call__(self, xc, u, t, theta):
+            del theta
+            raw = xc * sd + mu
+            n = (env.obs_size + 1) // 2  # planar: obs = qpos[1:] ++ qvel
+            qpos = jnp.concatenate([jnp.zeros((1,)), raw[: n - 1]])
+            state = base.EnvState(
+                qpos=qpos.astype(jnp.float32),
+                qvel=raw[n - 1 :].astype(jnp.float32),
+                t=jnp.asarray(0, dtype=jnp.int32),
+            )
+            new_state, _ = env_im.step(p_im, state, u)
+            obs = env_im.observe(p_im, new_state)
+            return (obs - mu) / sd
+
+        def warm_carry(self, dparams, hist_x, hist_u):
+            del dparams, hist_x, hist_u
+            return jnp.zeros((0,), dtype=jnp.float32)
+
+        def zero_carry(self):
+            return jnp.zeros((0,), dtype=jnp.float32)
+
+    def make_policy(dynamics, goal_projection=0, stretch=1):
+        pol = MPCPolicy(
+            policy.cost_model,
+            dynamics,
+            policy.expert_model,
+            horizon=policy.horizon,
+            settings=SolverSettings(
+                max_iterations=int(
+                    config.get_path("mpc.solver.max_iterations", 30)
+                ),
+                grad_norm_tol=float(
+                    config.get_path("mpc.solver.grad_norm_tol", 1e-4)
+                ),
+            ),
+            goal_projection=goal_projection,
+        )
+        if stretch > 1:
+            inner = pol.goals_and_warm_start
+
+            def stretched(p, history_x):
+                goal_X, init_U = inner(p, history_x)
+                H = goal_X.shape[0] - 1
+                idx = jnp.concatenate(
+                    [jnp.zeros((1,), jnp.int32),
+                     1 + jnp.arange(H, dtype=jnp.int32) // stretch]
+                )
+                g = goal_X[idx]
+                n = (env.obs_size + 1) // 2
+                g = g.at[:, n - 1 :].multiply(1.0 / stretch)
+                return g, init_U / stretch
+
+            pol.goals_and_warm_start = stretched
+        return pol
+
+    builds = {
+        "raw": lambda: make_policy(TrueShiftedDynamics()),
+        "proj2": lambda: make_policy(TrueShiftedDynamics(), goal_projection=2),
+        "proj6": lambda: make_policy(TrueShiftedDynamics(), goal_projection=6),
+        "stretch2": lambda: make_policy(TrueShiftedDynamics(), stretch=2),
+        "learned": lambda: make_policy(
+            policy.dynamics_model,
+            goal_projection=int(
+                config.get_path("mpc.goal_projection_iters", 0)
+            ),
+        ),
+    }
+    results = {}
+    for name in VARIANTS:
+        pol = builds[name]()
+        ep = jax.jit(
+            lambda k, pol=pol: batched_rollout(
+                env_im,
+                p_im,
+                pol.act,
+                params,
+                norm,
+                k,
+                num_steps=N_STEPS,
+                history=int(config.get_path("mpc.history", 1)),
+                num_envs=N_ENVS,
+            )
+        )(jax.random.PRNGKey(11))
+        rets = jnp.sum(ep.rewards, axis=-1)
+        results[name] = (float(jnp.mean(rets)), float(jnp.std(rets)))
+        print(
+            f"{name:9s}: return {results[name][0]:7.2f} "
+            f"+- {results[name][1]:5.2f}  over {N_ENVS} x {N_STEPS} steps",
+            flush=True,
+        )
+    print("\nsummary:", results)
+
+
+if __name__ == "__main__":
+    main()

@@ -181,22 +181,41 @@ def test_l2_deterministic_given_seed(tiny_config, expert_result):
 
 
 def test_l2_checkpoint_resume(tiny_config, expert_result, tmp_path):
-    """Epoch-level checkpointing: a second run resumes past epoch 1."""
+    """Epoch-level checkpointing: a CRASHED run resumes past epoch 1,
+    and a COMPLETED run clears its crash-resume state (so the next
+    fresh invocation does not silently resume a finished run)."""
     from gan_mpc_tpu.runners import l2
 
     cfg = tiny_config.replace(
         runtime__checkpoint={"every_epochs": 1, "keep": 2},
-        mpc__train__num_epochs=1,
+        mpc__train__num_epochs=2,
     )
-    logs = []
-    l2.run(cfg, log_fn=logs.append)
-    cfg2 = cfg.replace(mpc__train__num_epochs=2)
+
+    class Crash(RuntimeError):
+        pass
+
+    def crash_after_epoch_1(msg):
+        # the epoch-1 checkpoint is saved before this log line
+        if msg.startswith("[l2] epoch 1 "):
+            raise Crash(msg)
+
+    with pytest.raises(Crash):
+        l2.run(cfg, log_fn=crash_after_epoch_1)
     logs2 = []
-    out = l2.run(cfg2, log_fn=logs2.append)
+    out = l2.run(cfg, log_fn=logs2.append)
     assert any("resumed from checkpoint at epoch 1" in m for m in logs2)
     # only epoch 2 was trained in the second run
     assert sum(1 for m in logs2 if m.startswith("[l2] epoch")) == 1
     assert out["avg_reward"] >= 0.0
+    # completion cleared the crash-resume state
+    ckpt = l2.checkpointer_for(cfg, "l2")
+    assert ckpt.latest_step() is None
+    ckpt.close()
+    # a third run therefore starts from scratch
+    logs3 = []
+    l2.run(cfg, log_fn=logs3.append)
+    assert not any("resumed" in m for m in logs3)
+    assert sum(1 for m in logs3 if m.startswith("[l2] epoch")) == 2
 
 
 def test_l2_periodic_eval_and_best_selection(tiny_config, expert_result):
