@@ -141,6 +141,20 @@ def batch_policy_rollout(
     (``MPCPolicy.act_batch``), where the whole env batch enters one
     solver instance and the fused batch ops see real batches.
     """
+    step_fn, init_carry, noise_keys = _batch_rollout_parts(
+        env, env_params, batch_policy_fn, policy_params, normalizer,
+        key, num_steps, history, num_envs, action_noise,
+    )
+    _, outs = jax.lax.scan(step_fn, init_carry, noise_keys)
+    return _to_env_major(outs)
+
+
+def _batch_rollout_parts(
+    env, env_params, batch_policy_fn, policy_params, normalizer,
+    key, num_steps, history, num_envs, action_noise,
+):
+    """Shared machinery of the batch-of-envs rollouts: the per-step scan
+    body, the initial carry, and the per-step noise keys."""
     obs_size, act_size = env.obs_size, env.act_size
     k_reset, k_noise = jax.random.split(key)
     init_states = jax.vmap(lambda k: env.reset(env_params, k))(
@@ -171,20 +185,61 @@ def batch_policy_rollout(
         )(env_states, u)
         return (env_states, hist_x, hist_u), (obs, u, reward, qpos, qvel)
 
-    _, (states, actions, rewards, qpos, qvel) = jax.lax.scan(
-        step_fn,
-        (init_states, hist_x0, hist_u0),
-        jax.random.split(k_noise, num_steps),
-    )
+    init_carry = (init_states, hist_x0, hist_u0)
+    return step_fn, init_carry, jax.random.split(k_noise, num_steps)
+
+
+def _to_env_major(outs) -> EpisodeData:
     # time-major (T, B, ...) -> env-major (B, T, ...) like batched_rollout
-    to_env_major = lambda a: jnp.swapaxes(a, 0, 1)
+    states, actions, rewards, qpos, qvel = outs
+    f = lambda a: jnp.swapaxes(a, 0, 1)
     return EpisodeData(
-        states=to_env_major(states),
-        actions=to_env_major(actions),
-        rewards=to_env_major(rewards),
-        qpos=to_env_major(qpos),
-        qvel=to_env_major(qvel),
+        states=f(states), actions=f(actions), rewards=f(rewards),
+        qpos=f(qpos), qvel=f(qvel),
     )
+
+
+def chunked_batched_rollout(
+    env,
+    env_params,
+    policy_fn: Callable,
+    policy_params,
+    normalizer: Normalizer,
+    key: jax.Array,
+    num_steps: int,
+    history: int,
+    num_envs: int,
+    chunk_steps: int,
+    action_noise: float = 0.0,
+) -> EpisodeData:
+    """Watchdog-safe long rollouts: ONE jitted program per
+    ``chunk_steps``-step chunk, host-stepped between chunks.
+
+    The TPU runtime kills workers on single programs that execute too
+    long (observed on humanoid-scale fan-outs and on 1000-step
+    plan-through-true-physics evals — BENCHMARKS.md); this bounds each
+    device program while keeping per-step dispatch amortized. Per-env
+    ``policy_fn(params, hist_x (h+1,x), hist_u (h,u)) -> act`` like
+    ``batched_rollout`` (vmapped over the env batch); bit-identical to
+    ``batch_policy_rollout`` with the vmapped policy (same reset/noise
+    key layout), and invariant to ``chunk_steps``.
+    """
+    def batch_policy_fn(p, hist_x, hist_u):
+        return jax.vmap(lambda x, u: policy_fn(p, x, u))(hist_x, hist_u)
+
+    step_fn, carry, noise_keys = _batch_rollout_parts(
+        env, env_params, batch_policy_fn, policy_params, normalizer,
+        key, num_steps, history, num_envs, action_noise,
+    )
+    chunk = jax.jit(lambda c, ks: jax.lax.scan(step_fn, c, ks))
+    pieces = []
+    for i in range(0, num_steps, chunk_steps):
+        carry, outs = chunk(carry, noise_keys[i : i + chunk_steps])
+        pieces.append(outs)
+    outs = jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs, axis=0), *pieces
+    )
+    return _to_env_major(outs)
 
 
 def policy_rollout(

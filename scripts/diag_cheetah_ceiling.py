@@ -32,9 +32,15 @@ import jax.numpy as jnp
 
 sys.path.insert(0, ".")
 
+# honor JAX_PLATFORMS before any backend initializes (this image's
+# sitecustomize pre-registers the TPU plugin and ignores the env var)
+from gan_mpc_tpu import runtime_setup  # noqa: E402
+
+runtime_setup.setup()
+
 from gan_mpc_tpu.config import Config
 from gan_mpc_tpu.envs import base, make_env
-from gan_mpc_tpu.envs.rollout import batched_rollout
+from gan_mpc_tpu.envs.rollout import chunked_batched_rollout
 from gan_mpc_tpu.planner import SolverSettings
 from gan_mpc_tpu.policies.mpc import MPCPolicy
 from gan_mpc_tpu.runners import common
@@ -72,7 +78,6 @@ def main():
     )
     params = io.load_params(template, RUN + "/params.msgpack")
     mu, sd = norm.state_mean, norm.state_std
-    nq = env.default_params().__dict__ and None  # doc: planar nq below
 
     class TrueShiftedDynamics:
         """True shifted-env physics as planner dynamics over the
@@ -153,19 +158,21 @@ def main():
     results = {}
     for name in VARIANTS:
         pol = builds[name]()
-        ep = jax.jit(
-            lambda k, pol=pol: batched_rollout(
-                env_im,
-                p_im,
-                pol.act,
-                params,
-                norm,
-                k,
-                num_steps=N_STEPS,
-                history=int(config.get_path("mpc.history", 1)),
-                num_envs=N_ENVS,
-            )
-        )(jax.random.PRNGKey(11))
+        # chunked: one device program per 100 steps — the 1000-step
+        # plan-through-true-physics scan as ONE program trips the TPU
+        # watchdog ("kernel fault")
+        ep = chunked_batched_rollout(
+            env_im,
+            p_im,
+            pol.act,
+            params,
+            norm,
+            jax.random.PRNGKey(11),
+            num_steps=N_STEPS,
+            history=int(config.get_path("mpc.history", 1)),
+            num_envs=N_ENVS,
+            chunk_steps=100,
+        )
         rets = jnp.sum(ep.rewards, axis=-1)
         results[name] = (float(jnp.mean(rets)), float(jnp.std(rets)))
         print(

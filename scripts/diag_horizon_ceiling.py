@@ -17,6 +17,12 @@ import jax.numpy as jnp
 
 sys.path.insert(0, ".")
 
+# honor JAX_PLATFORMS before any backend initializes (this image's
+# sitecustomize pre-registers the TPU plugin and ignores the env var)
+from gan_mpc_tpu import runtime_setup  # noqa: E402
+
+runtime_setup.setup()
+
 from gan_mpc_tpu.config import Config
 from gan_mpc_tpu.data.normalizer import Normalizer  # noqa: F401
 from gan_mpc_tpu.envs import make_env

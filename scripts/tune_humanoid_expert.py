@@ -16,6 +16,12 @@ import jax.numpy as jnp
 
 sys.path.insert(0, ".")
 
+# honor JAX_PLATFORMS before any backend initializes (this image's
+# sitecustomize pre-registers the TPU plugin and ignores the env var)
+from gan_mpc_tpu import runtime_setup  # noqa: E402
+
+runtime_setup.setup()
+
 from gan_mpc_tpu.envs import make_env
 
 ENV = sys.argv[1] if len(sys.argv) > 1 else "humanoid_stand"

@@ -29,6 +29,12 @@ import jax.numpy as jnp
 
 sys.path.insert(0, ".")
 
+# honor JAX_PLATFORMS before any backend initializes (this image's
+# sitecustomize pre-registers the TPU plugin and ignores the env var)
+from gan_mpc_tpu import runtime_setup  # noqa: E402
+
+runtime_setup.setup()
+
 from gan_mpc_tpu.envs import make_env
 from gan_mpc_tpu.runners.collect import (
     _HUMANOID_STAND_GAINS,

@@ -137,3 +137,37 @@ def test_episode_rollout_is_jittable_and_batched():
     assert batch.states.shape == (4, 50, 3)
     # different reset keys -> different episodes
     assert float(jnp.abs(batch.states[0] - batch.states[1]).max()) > 1e-4
+
+
+def test_chunked_rollout_matches_and_is_chunk_invariant():
+    """chunked_batched_rollout must match batch_policy_rollout (same
+    key layout; fp-tolerance — different XLA fusions) for every chunk
+    size, including a remainder chunk (50 % 16 != 0)."""
+    from gan_mpc_tpu.envs.rollout import (
+        batch_policy_rollout,
+        chunked_batched_rollout,
+    )
+
+    env = PendulumSwingup()
+    p = env.default_params()
+    norm = Normalizer.identity(env.obs_size, env.act_size)
+
+    def policy(params, hist_x, hist_u):
+        del params
+        return -0.5 * hist_x[-1, 2:3]
+
+    ref = batch_policy_rollout(
+        env, p,
+        lambda prm, hx, hu: jax.vmap(lambda x, u: policy(prm, x, u))(hx, hu),
+        None, norm, KEY, 50, 1, 4,
+    )
+    for chunk in (50, 16, 7):
+        got = chunked_batched_rollout(
+            env, p, policy, None, norm, KEY, 50, 1, 4, chunk_steps=chunk
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.states), np.asarray(ref.states), atol=5e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.rewards), np.asarray(ref.rewards), atol=5e-5
+        )
