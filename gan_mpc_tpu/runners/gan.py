@@ -259,14 +259,12 @@ def _dagger_rounds(
             d["mpc"]["train"]["num_epochs"] = extra
             d["mpc"]["train"]["dynamics"]["warm_start_updates"] = 0
             cfg2 = Config.from_dict(d)
+            # continuation epochs are real training: record them in the
+            # run's loss history (a resumed-at-final-epoch run otherwise
+            # finishes with EMPTY curves and the artifact save fails)
             params, opt_states, replay, key, be, bp = _run_fused_epochs(
                 cfg2, ctx, params, opts, opt_states, replay, key,
-                {k: [] for k in (
-                    "dynamics_train_losses", "critic_train_losses",
-                    "critic_test_losses", "cost_train_losses",
-                    "cost_test_losses", "episode_returns",
-                )},
-                metrics, log_fn, ckpt=None, start_epoch=1,
+                history, metrics, log_fn, ckpt=None, start_epoch=1,
             )
             if be >= best_eval:
                 best_eval, best_params = be, bp
@@ -486,6 +484,11 @@ def run(config: Config, log_fn=print):
 
     run_dir = io.new_run_dir(common.imitator_model_dir(config, "gan"))
     io.save_params(params, os.path.join(run_dir, "params.msgpack"))
+
+    def _last(name):  # curves can be empty (e.g. a 0-epoch resumed run)
+        values = history[name]
+        return round(values[-1], 5) if values else None
+
     io.save_json(
         {
             "seed": config.seed,
@@ -493,14 +496,14 @@ def run(config: Config, log_fn=print):
             "reward": round(avg_reward, 2),
             "dm_control_reward": dm_result,
             "loss": {
-                "dynamics": {"train_loss": round(history["dynamics_train_losses"][-1], 5)},
+                "dynamics": {"train_loss": _last("dynamics_train_losses")},
                 "critic": {
-                    "train_loss": round(history["critic_train_losses"][-1], 5),
-                    "test_loss": round(history["critic_test_losses"][-1], 5),
+                    "train_loss": _last("critic_train_losses"),
+                    "test_loss": _last("critic_test_losses"),
                 },
                 "cost": {
-                    "train_loss": round(history["cost_train_losses"][-1], 5),
-                    "test_loss": round(history["cost_test_losses"][-1], 5),
+                    "train_loss": _last("cost_train_losses"),
+                    "test_loss": _last("cost_test_losses"),
                 },
             },
             "policy": config.mpc.to_dict(),

@@ -546,6 +546,11 @@ def run(config: Config, log_fn=print):
 
     run_dir = io.new_run_dir(common.imitator_model_dir(config, "l2"))
     io.save_params(params, os.path.join(run_dir, "params.msgpack"))
+
+    def _last(name):  # curves can be empty (e.g. a 0-epoch resumed run)
+        values = history[name]
+        return round(values[-1], 5) if values else None
+
     io.save_json(
         {
             "seed": config.seed,
@@ -553,10 +558,10 @@ def run(config: Config, log_fn=print):
             "reward": round(avg_reward, 2),
             "dm_control_reward": dm_result,
             "loss": {
-                "dynamics": {"train_loss": round(history["dynamics_train_losses"][-1], 5)},
+                "dynamics": {"train_loss": _last("dynamics_train_losses")},
                 "cost": {
-                    "train_loss": round(history["cost_train_losses"][-1], 5),
-                    "test_loss": round(history["cost_test_losses"][-1], 5),
+                    "train_loss": _last("cost_train_losses"),
+                    "test_loss": _last("cost_test_losses"),
                 },
             },
             "policy": config.mpc.to_dict(),
