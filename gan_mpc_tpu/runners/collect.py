@@ -18,6 +18,12 @@ import numpy as np
 from gan_mpc_tpu.data.trajectories import TrajectorySet
 
 
+# Bump an env's entry whenever its scripted expert's BEHAVIOR changes —
+# collection_fingerprint folds this in so cached trajectory stores
+# labeled by an older expert are re-collected, not silently reused.
+EXPERT_VERSION = {"pendulum_swingup": 2}
+
+
 def scripted_expert(env):
     """Return ``policy_fn(params, history_x, history_u) -> action`` for the
     given env (params unused; histories are raw observations because
@@ -35,7 +41,19 @@ def scripted_expert(env):
             energy = 0.5 * inertia * thd**2 + m * p.gravity * r * cos_th
             # gains grid-searched on the dm-exact physics: mean 844.6 /
             # worst-seed 694 over 16 seeds x 1000 steps.
-            pump = 6.0 * (e_top - energy) * jnp.sign(thd + 1e-6 * sin_th)
+            #
+            # The 0.3*sin_th tie-break matters for the LABELS, not the
+            # expert's own score (identical at any k in [1e-6, 1]):
+            # near thd = 0 a velocity-sign pump direction flips with
+            # noise, so behavior-cloned data carries BOTH +pump and
+            # -pump labels at slow states and the goal predictor
+            # averages them to ~zero — measured as the imitator's
+            # slow-first-swingup failure band (BENCHMARKS.md round 3).
+            # sign(thd + 0.3 sin_th) pumps where gravity is about to
+            # accelerate the pendulum: a deterministic, physics-
+            # consistent direction that makes the label function
+            # unimodal in state.
+            pump = 6.0 * (e_top - energy) * jnp.sign(thd + 0.3 * sin_th)
             th = jnp.arctan2(sin_th, cos_th)
             stabilize = -8.0 * th - 1.0 * thd
             near_top = jnp.abs(th) < 0.5

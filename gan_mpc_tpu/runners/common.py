@@ -184,6 +184,8 @@ def collection_fingerprint(config: Config) -> str:
     and poison training."""
     import hashlib
 
+    from gan_mpc_tpu.runners.collect import EXPERT_VERSION
+
     env = make_env(config.env.name)
     leaves = jax.tree_util.tree_leaves(env.default_params())
     payload = [config.env.name]
@@ -194,6 +196,9 @@ def collection_fingerprint(config: Config) -> str:
         str(config.get_path("env.expert_reset_velocity", 0.0)),
         str(max(config.mpc.train.num_trajectories, 4)),
         str(config.seed + 7),
+        # bumped whenever a scripted expert's behavior changes: a cached
+        # store labeled by an older expert must not be silently reused
+        f"expert-v{EXPERT_VERSION.get(config.env.name, 1)}",
     ]
     return hashlib.sha256("|".join(payload).encode()).hexdigest()[:10]
 
