@@ -108,7 +108,28 @@ def walk_action_full(w, obs, t, dt):
     return jnp.clip(u, -1.0, 1.0)
 
 
-walk_action = walk_action_small if SMALL else walk_action_full
+# fb space: full + [k_v, v_ref, k_amp_pitch] (30 params) — closes two
+# loops the open-loop CPG cannot: lean follows the forward-speed error
+# (so the gait neither stalls nor runaway-pitches), and CPG amplitude
+# backs off quadratically with trunk pitch (let the balance terms
+# recover before stepping again).
+def walk_action_fb(w, obs, t, dt):
+    freq, lean, bal = w[0], w[1], w[2]
+    amp, phase = w[3:15], w[15:27]
+    k_v, v_ref, k_ap = w[27], w[28], w[29]
+    vx, pitch = obs[14], obs[1]
+    u = bal * humanoid_balance_policy(G_STAND, obs, env)
+    ph = 2.0 * jnp.pi * freq * t * dt
+    scale = 1.0 / (1.0 + k_ap * pitch * pitch)
+    u = u + scale * amp * jnp.sin(ph + phase)
+    u = u.at[0].add(-(lean + k_v * (v_ref - vx)))
+    return jnp.clip(u, -1.0, 1.0)
+
+
+FB = "--fb" in args
+walk_action = (
+    walk_action_small if SMALL else (walk_action_fb if FB else walk_action_full)
+)
 
 
 def episode(w, key):
@@ -147,6 +168,12 @@ def main():
         mu, sig = W0_SMALL, SIG0_SMALL
     else:
         mu, sig = _full_init()
+        if FB:
+            # feedback terms start OFF (k_v=0, k_amp_pitch=0) at the
+            # dm walk target speed; CEM discovers how hard to close
+            # each loop
+            mu = jnp.concatenate([mu, jnp.array([0.0, 1.0, 0.0])])
+            sig = jnp.concatenate([sig, jnp.array([0.5, 0.4, 2.0])])
     best_w, best_r = mu, -jnp.inf
     for it in range(ITERS):
         k1 = jax.random.PRNGKey(1000 + it)
