@@ -51,7 +51,8 @@ class MPCCost:
     """Stateless planner-cost assembler around a CostFeatureNet.
 
     ``params`` convention: ``{"net": <flax params>, "weights": (3,) raw}``
-    where ``weights`` are pre-sigmoid (action, state, terminal).
+    where ``weights`` are pre-sigmoid (action, state, terminal) — or
+    (4,) with a trailing action-GOAL weight, see ``stage``.
     """
 
     def __init__(self, net: CostFeatureNet, horizon: int):
@@ -69,14 +70,29 @@ class MPCCost:
         t: jax.Array,
         raw_weights: jax.Array,
         goal_X: jax.Array,
+        goal_U: jax.Array | None = None,
     ) -> jax.Array:
-        """Running cost for t < horizon (no neural net involved)."""
+        """Running cost for t < horizon (no neural net involved).
+
+        With a 4th raw weight and ``goal_U``, an ACTION-goal term
+        w3 * huber(u - goal_U[t]) joins the objective (framework
+        extension; no reference counterpart). Rationale: under domain
+        shift the expert's cloned ACTIONS carry information the state
+        goals cannot express — measured on cheetah x3 torso mass, pure
+        state tracking through the TRUE shifted physics returns 16.6
+        while executing the predictor's cloned actions returns 27.9
+        (BENCHMARKS.md round 3). The weight is sigmoid-squashed and
+        trained adversarially like the others, so the critic tunes how
+        much to trust actions vs states."""
         w = jax.nn.sigmoid(raw_weights)
         x_size = goal_X.shape[-1]
         goal = goal_X[t]
-        return w[0] * smoothed_norm(u) + w[1] * smoothed_norm(
+        cost = w[0] * smoothed_norm(u) + w[1] * smoothed_norm(
             xc[:x_size] - goal
         )
+        if raw_weights.shape[-1] > 3 and goal_U is not None:
+            cost = cost + w[3] * smoothed_norm(u - goal_U[t])
+        return cost
 
     def terminal(
         self, xc: jax.Array, net_params, raw_weights: jax.Array
@@ -93,14 +109,17 @@ class MPCCost:
     # the residual's second derivative vanishes a.e.) — no AD hessians in
     # the planner's hot loop.
 
-    def stage_cost_batch(self, X, U, t, raw_weights, goal_tm):
+    def stage_cost_batch(self, X, U, t, raw_weights, goal_tm, goal_u_tm=None):
         """X (B,K,n), U (B,K,m), goal_tm (T+1,B,gs) TIME-MAJOR -> (B,K)."""
         w = jax.nn.sigmoid(raw_weights)
         gs = goal_tm.shape[-1]
         d = X[..., :gs] - goal_tm[t][:, None]
         a = _HUBER_ALPHA
         sn = lambda v: jnp.sqrt(jnp.sum(v * v, -1) + a * a) - a
-        return w[0] * sn(U) + w[1] * sn(d)
+        cost = w[0] * sn(U) + w[1] * sn(d)
+        if raw_weights.shape[-1] > 3 and goal_u_tm is not None:
+            cost = cost + w[3] * sn(U - goal_u_tm[t][:, None])
+        return cost
 
     def terminal_cost_batch(self, X, net_params, raw_weights):
         """X (B,K,n) -> (B,K): w2 * |f(x)|^2 via the fused stack."""
@@ -111,7 +130,8 @@ class MPCCost:
         f = mlp_apply(X.reshape(B * K, n), dense_stack(net_params))
         return w[2] * jnp.sum(f * f, -1).reshape(B, K)
 
-    def quad_batch(self, X, U, net_params, raw_weights, goal_tm):
+    def quad_batch(self, X, U, net_params, raw_weights, goal_tm,
+                   goal_u_tm=None):
         """Whole-horizon quadratization, TIME-MAJOR: X (T+1,B,n),
         U (T,B,m), goal_tm (T+1,B,gs) -> cx (T+1,B,n), cu (T,B,m),
         cxx (T+1,B,n,n), cuu (T,B,m,m), cux (T,B,m,n) — stage rows
@@ -147,6 +167,10 @@ class MPCCost:
         gu, Hu = huber(U, eye_m)
         cu = w[0] * gu
         cuu = w[0] * Hu
+        if raw_weights.shape[-1] > 3 and goal_u_tm is not None:
+            gu2, Hu2 = huber(U - goal_u_tm[:T], eye_m)
+            cu = cu + w[3] * gu2
+            cuu = cuu + w[3] * Hu2
         cux = jnp.zeros((T, B, m, n), X.dtype)
 
         # terminal: value/grad/hess of w2 |f(x)|^2, exact for relu nets

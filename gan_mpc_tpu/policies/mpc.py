@@ -58,13 +58,13 @@ class MPCPolicy:
         # Stage and terminal costs split so the terminal net is evaluated
         # once per rollout, not at every step (the combined jnp.where form
         # pays both branches under AD).
-        def planner_stage_cost(xc, u, t, theta, goal_X):
+        def planner_stage_cost(xc, u, t, theta, goal_X, goal_U):
             return cost_model.stage(
-                xc, u, t, theta["mpc_weights"], goal_X
+                xc, u, t, theta["mpc_weights"], goal_X, goal_U
             )
 
-        def planner_terminal_cost(xc, theta, goal_X):
-            del goal_X
+        def planner_terminal_cost(xc, theta, goal_X, goal_U):
+            del goal_X, goal_U
             return cost_model.terminal(
                 xc, theta["cost_params"], theta["mpc_weights"]
             )
@@ -195,7 +195,7 @@ class MPCPolicy:
                 params["dynamics_params"], xc0, goal_xseq, init_useq
             )
         return self._plan(
-            self._theta(params), xc0, init_useq, (goal_xseq,), ()
+            self._theta(params), xc0, init_useq, (goal_xseq, init_useq), ()
         )
 
     def act(self, params, history_x, history_u) -> jax.Array:
@@ -259,17 +259,18 @@ class MPCPolicy:
                 Bm.reshape(T, B, n, -1),
             )
 
+        goal_u_tm = jnp.swapaxes(init_U, 0, 1)  # (T, B, u) time-major
         problem = BatchProblem(
             dynamics_step=dynamics_step,
             dynamics_jac=dynamics_jac,
             stage_cost=lambda X, U, t: cost_model.stage_cost_batch(
-                X, U, t, theta_w, goal_tm
+                X, U, t, theta_w, goal_tm, goal_u_tm
             ),
             terminal_cost=lambda X: cost_model.terminal_cost_batch(
                 X, theta_c, theta_w
             ),
             quad=lambda X, U: cost_model.quad_batch(
-                X, U, theta_c, theta_w, goal_tm
+                X, U, theta_c, theta_w, goal_tm, goal_u_tm
             ),
         )
         return batch_ilqr(

@@ -156,7 +156,13 @@ def build_policy(
         goal_projection=config.get_path("mpc.goal_projection_iters", 0),
     )
     weights_cfg = config.mpc.model.cost.weights
-    mpc_weights = (weights_cfg.action, weights_cfg.state, weights_cfg.terminal)
+    mpc_weights = [weights_cfg.action, weights_cfg.state, weights_cfg.terminal]
+    # optional 4th weight: action-GOAL tracking w3*huber(u - u_pred)
+    # (models/cost.py stage) — presence in the config enables the term
+    ag = weights_cfg.get_path("action_goal")
+    if ag is not None:
+        mpc_weights.append(ag)
+    mpc_weights = tuple(mpc_weights)
     key = key if key is not None else jax.random.PRNGKey(config.seed)
     params = policy.init(
         key, mpc_weights, u_size, expert_params=expert_params,

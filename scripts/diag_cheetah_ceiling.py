@@ -143,6 +143,69 @@ def main():
             pol.goals_and_warm_start = stretched
         return pol
 
+    def make_ureg_policy(lam, dynamics):
+        """State-tracking stage cost PLUS lam*|u - u_pred|^2: the
+        expert's cloned ACTIONS re-enter the objective, interpolating
+        between pure state tracking (lam=0, measured 16.6 on true
+        physics) and stabilized torque replay (lam->inf ~ the gait
+        expert's own 27.4). A fixed test of the action-goal-cost idea
+        before promoting it into MPCCost."""
+        from gan_mpc_tpu.planner import make_implicit_planner
+
+        cost_model, expert_model = policy.cost_model, policy.expert_model
+
+        def stage(xc, u, t, theta, goal_X, goal_U):
+            du = u - goal_U[t]
+            return cost_model.stage(
+                xc, u, t, theta["mpc_weights"], goal_X
+            ) + lam * jnp.sum(du * du)
+
+        def term(xc, theta, goal_X, goal_U):
+            del goal_X, goal_U
+            return cost_model.terminal(
+                xc, theta["cost_params"], theta["mpc_weights"]
+            )
+
+        def dyn(xc, u, t, theta):
+            return dynamics(xc, u, t, theta["dynamics_params"])
+
+        plan = make_implicit_planner(
+            stage, dyn,
+            SolverSettings(
+                max_iterations=int(
+                    config.get_path("mpc.solver.max_iterations", 30)
+                )
+            ),
+            terminal_cost=term,
+        )
+
+        class P:
+            def act(self, p, hist_x, hist_u):
+                carry = expert_model.warm_carry(p["expert_params"], hist_x)
+                goal_X, init_U = expert_model.generate(
+                    p["expert_params"], carry, policy.horizon
+                )
+                theta = {
+                    "mpc_weights": p["mpc_weights"],
+                    "cost_params": p["cost_params"],
+                    "dynamics_params": p["dynamics_params"],
+                }
+                sol = plan(theta, hist_x[-1], init_U, (goal_X, init_U), ())
+                return sol.U[0]
+
+        return P()
+
+    class UOnly:
+        """Execute the predictor's warm-start action directly (BC
+        endpoint, no planning)."""
+
+        def act(self, p, hist_x, hist_u):
+            carry = policy.expert_model.warm_carry(p["expert_params"], hist_x)
+            _, init_U = policy.expert_model.generate(
+                p["expert_params"], carry, policy.horizon
+            )
+            return init_U[0]
+
     builds = {
         "raw": lambda: make_policy(TrueShiftedDynamics()),
         "proj2": lambda: make_policy(TrueShiftedDynamics(), goal_projection=2),
@@ -154,6 +217,11 @@ def main():
                 config.get_path("mpc.goal_projection_iters", 0)
             ),
         ),
+        "uonly": lambda: UOnly(),
+        "ureg1": lambda: make_ureg_policy(1.0, TrueShiftedDynamics()),
+        "ureg5": lambda: make_ureg_policy(5.0, TrueShiftedDynamics()),
+        "ureg20": lambda: make_ureg_policy(20.0, TrueShiftedDynamics()),
+        "ureg5l": lambda: make_ureg_policy(5.0, policy.dynamics_model),
     }
     results = {}
     for name in VARIANTS:

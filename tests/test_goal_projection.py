@@ -103,7 +103,7 @@ def test_projection_off_matches_previous_behavior():
     # planner's objective evaluated at its own solution must match a
     # fresh planner given identical inputs
     sol2 = p_off._plan(
-        p_off._theta(params), hx[-1], useq, (goals,), ()
+        p_off._theta(params), hx[-1], useq, (goals, useq), ()
     )
     np.testing.assert_allclose(
         float(sol.obj), float(sol2.obj), rtol=1e-6
