@@ -55,6 +55,10 @@ def tolerance(
     if margin == 0.0:
         return jnp.where(in_bounds, 1.0, 0.0)
     d = jnp.where(x < lower, lower - x, x - upper) / margin
+    # double-where: zero the unused branch BEFORE the sigmoid, else with
+    # upper=inf the untaken d=-inf produces 0*inf=NaN in the BACKWARD pass
+    # (reward gradients through the engine — APG/BPTT — would NaN out)
+    d = jnp.where(in_bounds, 0.0, d)
     if sigmoid == "gaussian":
         scale = jnp.sqrt(-2.0 * jnp.log(value_at_margin))
         out = jnp.exp(-0.5 * (d * scale) ** 2)

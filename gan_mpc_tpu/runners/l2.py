@@ -57,6 +57,15 @@ def setup(config: Config, with_critic: bool = False):
         expert_params=expert_params, expert_model=expert_model, key=key,
     )
 
+    # Optional warm start from a SAVED run's final params (continuation
+    # training: e.g. extra DAgger rounds on an already-trained imitator).
+    # The saved pytree must match the current config's architecture.
+    init_run = config.get_path("mpc.train.init_from_run")
+    if init_run:
+        params = io.load_params(
+            params, os.path.join(init_run, "params.msgpack")
+        )
+
     states = normalizer.normalize_state(jnp.asarray(trajs.states))
     key, k1, k2 = jax.random.split(key, 3)
     cost_data = shuffle_and_split(

@@ -1,6 +1,6 @@
 """Tune a humanoid walking gait over the differentiable engine.
 
-Two controller parameterizations:
+Three controller parameterizations:
 
   * ``small`` (round 2): the CEM-tuned stand balance policy
     (runners/collect.py) plus an 8-parameter open-loop phase gait
@@ -18,8 +18,16 @@ Adam polish on the analytic episode-return gradient through the
 differentiable engine (--polish N) — we own the physics, so BPTT through
 contacts is one jax.grad.
 
-Usage: python scripts/tune_humanoid_walk.py [iters] [--small] [--polish N]
-       [--steps N]
+``--apg N`` instead trains a small MLP policy (obs + gait-phase features
+-> 12 torques, blended over the balance controller) by pure analytic
+policy gradient: N Adam steps on the full-episode return, gradients by
+BPTT through the contact dynamics (Brax-style APG). The MLP head starts
+at zero so step 0 IS the stand controller; the phase features let it
+express a periodic gait the reactive CPG class cannot. Warm-start CPG
+terms come along via --apg-cpg (adds the CEM-best CPG drive underneath).
+
+Usage: python scripts/tune_humanoid_walk.py [iters] [--small|--fb] [--polish N]
+       [--apg N] [--steps N]
 """
 
 import sys
@@ -45,6 +53,8 @@ args = [a for a in sys.argv[1:]]
 ITERS = int(args[0]) if args and args[0].isdigit() else 40
 SMALL = "--small" in args
 POLISH = int(args[args.index("--polish") + 1]) if "--polish" in args else 0
+APG = int(args[args.index("--apg") + 1]) if "--apg" in args else 0
+APG_CPG = "--apg-cpg" in args
 STEPS = int(args[args.index("--steps") + 1]) if "--steps" in args else 500
 POP, SEEDS, ELITE = 128, 4, 12
 
@@ -163,7 +173,109 @@ def mean_return_and_grad(w, key):
     return jax.value_and_grad(f)(w)
 
 
+# ---------------------------------------------------------------------
+# APG: MLP policy trained by BPTT through the differentiable engine.
+# ---------------------------------------------------------------------
+APG_HIDDEN = 32
+
+
+def apg_init(key, cpg_w=None):
+    k1, _ = jax.random.split(key)
+    nin = env.obs_size + 2  # obs + (sin, cos) gait phase
+    params = {
+        # zero head: step 0 IS the balance (+ optional CPG) controller
+        "W1": 0.5 * jax.random.normal(k1, (APG_HIDDEN, nin)) / jnp.sqrt(nin),
+        "b1": jnp.zeros(APG_HIDDEN),
+        "W2": jnp.zeros((12, APG_HIDDEN)),
+        "b2": jnp.zeros(12),
+        "freq": jnp.asarray(float(W0_SMALL[0])),
+        "bal": jnp.asarray(1.0),
+        "cpg": (
+            cpg_w if cpg_w is not None else jnp.zeros(27)
+        ),  # frozen CPG drive underneath (when --apg-cpg)
+    }
+    return params
+
+
+def apg_action(p, obs, t, dt):
+    ph = 2.0 * jnp.pi * p["freq"] * t * dt
+    u = p["bal"] * humanoid_balance_policy(G_STAND, obs, env)
+    if APG_CPG:
+        amp, phase = p["cpg"][3:15], p["cpg"][15:27]
+        u = u + amp * jnp.sin(ph + phase)
+        u = u.at[0].add(-p["cpg"][1])
+    feat = jnp.concatenate([obs, jnp.array([jnp.sin(ph), jnp.cos(ph)])])
+    h = jnp.tanh(p["W1"] @ feat + p["b1"])
+    u = u + p["W2"] @ h + p["b2"]
+    return jnp.clip(u, -1.0, 1.0)
+
+
+def apg_episode(p, key):
+    s = env.reset(P, key)
+
+    def body(carry, t):
+        s = carry
+        obs = env.observe(P, s)
+        s, r = env.step(P, s, apg_action(p, obs, t, env.dt))
+        return s, r
+
+    # rematerialize each step on the backward pass: BPTT memory stays
+    # O(T * state) instead of O(T * substeps * intermediates)
+    _, rs = jax.lax.scan(jax.checkpoint(body), s, jnp.arange(STEPS))
+    return jnp.sum(rs)
+
+
+def run_apg(steps, cpg_w=None):
+    import optax
+
+    p = apg_init(jax.random.PRNGKey(0), cpg_w)
+    opt = optax.chain(
+        optax.clip_by_global_norm(1.0), optax.adam(1e-3)
+    )
+    st = opt.init(p)
+
+    @jax.jit
+    def apg_step(p, st, key):
+        ks = jax.random.split(key, SEEDS)
+
+        def neg_ret(p):
+            return -jnp.mean(jax.vmap(lambda k: apg_episode(p, k))(ks))
+
+        loss, g = jax.value_and_grad(neg_ret)(p)
+        upd, st = opt.update(g, st, p)
+        return optax.apply_updates(p, upd), st, -loss
+
+    @jax.jit
+    def apg_eval(p, key):
+        ks = jax.random.split(key, 8)
+        return jnp.mean(jax.vmap(lambda k: apg_episode(p, k))(ks))
+
+    best_p, best_r = p, -jnp.inf
+    for it in range(steps):
+        p, st, r = apg_step(p, st, jax.random.PRNGKey(3000 + it))
+        if it % 10 == 0 or it == steps - 1:
+            r_eval = float(apg_eval(p, jax.random.PRNGKey(7000 + it)))
+            if r_eval > best_r:
+                best_r, best_p = r_eval, p
+            print(
+                f"apg {it:3d}: return {float(r):7.1f} "
+                f"(eval {r_eval:7.1f}, global {best_r:7.1f}/{STEPS})",
+                flush=True,
+            )
+    import numpy as np
+
+    out = {k: np.asarray(v) for k, v in best_p.items()}
+    out["apg_cpg"] = np.asarray(1.0 if APG_CPG else 0.0)
+    np.savez("/tmp/humanoid_walk_apg.npz", **out)
+    print("\nsaved best APG policy to /tmp/humanoid_walk_apg.npz")
+    print("best eval return:", best_r, "/", STEPS)
+    return best_p, best_r
+
+
 def main():
+    if APG > 0 and ITERS == 0:
+        run_apg(APG, cpg_w=None)
+        return
     if SMALL:
         mu, sig = W0_SMALL, SIG0_SMALL
     else:
@@ -213,6 +325,12 @@ def main():
 
     print("\nbest w:", [round(float(v), 4) for v in best_w])
     print("best return:", best_r, "/", STEPS)
+
+    if APG > 0:
+        # hand the CEM-best CPG drive to the APG stage (--apg-cpg blends
+        # it under the MLP; without the flag only the frequency carries)
+        cpg = best_w[:27] if best_w.shape[0] >= 27 else None
+        run_apg(APG, cpg_w=cpg)
 
 
 if __name__ == "__main__":

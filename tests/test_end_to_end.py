@@ -152,6 +152,11 @@ def test_gan_runner_dagger_rounds(expert_result, tiny_config):
         },
         mpc__evaluate__every_epochs=1,
         mpc__evaluate__midrun_episodes=1,
+        # keep_best would re-rank candidates and may legitimately select a
+        # PRE-DAgger checkpoint (honest selection is score-driven); disable
+        # it so run() deterministically returns the refined params and the
+        # moved-predictor assertion below tests the machinery, not luck
+        mpc__evaluate__keep_best=False,
     )
     out = gan.run(cfg, log_fn=None)
     assert out["avg_reward"] >= 0.0
@@ -165,6 +170,31 @@ def test_gan_runner_dagger_rounds(expert_result, tiny_config):
         out["params"]["expert_params"],
     )
     assert max(jax.tree_util.tree_leaves(moved)) > 0.0
+
+
+def test_setup_init_from_run(tiny_config, expert_result, tmp_path):
+    """mpc.train.init_from_run warm-starts a run from a SAVED run's
+    params.msgpack (continuation training, e.g. extra DAgger rounds on an
+    already-trained imitator)."""
+    import os
+
+    import jax.numpy as jnp
+
+    from gan_mpc_tpu.runners import l2
+    from gan_mpc_tpu.utils import io
+
+    ctx = l2.setup(tiny_config)
+    # fabricate a "saved run": perturb one cost param so the warm start is
+    # distinguishable from a fresh init
+    saved = jax.tree_util.tree_map(lambda a: a + 1.0, ctx["params"])
+    run_dir = str(tmp_path / "0")
+    io.save_params(saved, os.path.join(run_dir, "params.msgpack"))
+
+    cfg = tiny_config.replace(mpc__train__init_from_run=run_dir)
+    ctx2 = l2.setup(cfg)
+    got = jax.tree_util.tree_leaves(ctx2["params"])
+    want = jax.tree_util.tree_leaves(saved)
+    assert all(jnp.array_equal(a, b) for a, b in zip(got, want))
 
 
 def test_l2_deterministic_given_seed(tiny_config, expert_result):

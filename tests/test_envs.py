@@ -28,6 +28,21 @@ def test_tolerance_matches_dm_control_semantics():
     np.testing.assert_allclose(float(v), 0.2, rtol=1e-5)
 
 
+def test_tolerance_gradient_finite_with_inf_upper():
+    """Reward gradients through the engine (APG / BPTT experts) must be
+    finite: with upper=inf the in-bounds branch's unused d=-inf used to
+    leak 0*inf=NaN through jnp.where on the backward pass."""
+    for sig in ("gaussian", "linear", "quadratic"):
+        g = jax.grad(
+            lambda x: tolerance(
+                x, lower=1.0, upper=jnp.inf, margin=1.0, sigmoid=sig,
+                value_at_margin=0.1 if sig == "gaussian" else 0.0,
+            )
+        )
+        assert jnp.isfinite(g(2.0))   # in bounds (the NaN-leak case)
+        assert jnp.isfinite(g(0.5))   # below lower: real decay gradient
+
+
 @pytest.mark.parametrize("name", ["pendulum_swingup", "cartpole_balance"])
 def test_env_api_and_shapes(name):
     env = make_env(name)
