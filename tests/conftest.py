@@ -23,13 +23,13 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
 # Persistent XLA compile cache: warm suite runs drop from ~17 min to
-# ~2 min on this 1-core box. Early in round 2, jaxlib 0.9's CPU
-# executable (de)serialization segfaulted intermittently; a round-3
-# probe (3 consecutive full runs of the compile-heavy files, cold and
-# warm, rc=0) no longer reproduces it, so the cache is now DEFAULT-ON.
-# Opt out with GAN_MPC_TPU_TEST_CACHE=0 if a crash in
-# compilation_cache get/put ever reappears.
-if os.environ.get("GAN_MPC_TPU_TEST_CACHE", "1") != "0":
+# ~2 min on this 1-core box — but jaxlib 0.9's CPU executable
+# (de)serialization aborts INTERMITTENTLY on write (SIGABRT in
+# compilation_cache.put_executable_and_time; last reproduced 2026-08-17
+# in test_fused_epoch after a round-3 probe had failed to reproduce it).
+# The crash is a coin flip, so the cache stays OPT-IN:
+# GAN_MPC_TPU_TEST_CACHE=1 enables it for local iteration.
+if os.environ.get("GAN_MPC_TPU_TEST_CACHE", "0") == "1":
     os.environ["GAN_MPC_TPU_FORCE_COMPILE_CACHE"] = "1"
     from gan_mpc_tpu import runtime_setup
 
@@ -37,3 +37,19 @@ if os.environ.get("GAN_MPC_TPU_TEST_CACHE", "1") != "0":
         os.path.expanduser("~/.cache/gan_mpc_tpu/xla-tests")
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bounded_compiler_state():
+    """jaxlib 0.9's XLA:CPU backend dies (SIGSEGV/SIGABRT inside
+    backend_compile_and_load) once enough compiled programs accumulate in
+    one process — reproduced 3x at the same ~53% suite mark regardless of
+    WHICH program compiles there, and the same process-cumulative crash
+    is documented for the TPU worker (runners/common.py
+    maybe_clear_caches). Dropping executable references after each test
+    module keeps the per-process footprint bounded; cross-module programs
+    recompile, which costs ~nothing since modules rarely share shapes."""
+    yield
+    jax.clear_caches()
