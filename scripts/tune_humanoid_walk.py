@@ -55,6 +55,16 @@ SMALL = "--small" in args
 POLISH = int(args[args.index("--polish") + 1]) if "--polish" in args else 0
 APG = int(args[args.index("--apg") + 1]) if "--apg" in args else 0
 APG_CPG = "--apg-cpg" in args
+APG_LR = (
+    float(args[args.index("--apg-lr") + 1]) if "--apg-lr" in args else 1e-3
+)
+# truncated-BPTT window (0 = full-episode BPTT). Gradients through
+# hundreds of contact steps are chaotic (positive Lyapunov exponents);
+# stopping the chain every K steps keeps them informative about local
+# control while the forward state still spans the whole episode.
+APG_TRUNC = (
+    int(args[args.index("--apg-trunc") + 1]) if "--apg-trunc" in args else 0
+)
 STEPS = int(args[args.index("--steps") + 1]) if "--steps" in args else 500
 POP, SEEDS, ELITE = 128, 4, 12
 
@@ -217,20 +227,47 @@ def apg_episode(p, key):
         s = carry
         obs = env.observe(P, s)
         s, r = env.step(P, s, apg_action(p, obs, t, env.dt))
-        return s, r
+        # an aggressive policy can blow the contact integrator up; keep
+        # the state finite with huge-but-finite clamps (inactive in any
+        # normal gait; clip's zero-gradient outside the bounds cleanly
+        # kills the BPTT chain of a diverged rollout instead of feeding
+        # inf-inf/0*inf NaNs through the backward pass)
+        s = s.replace(
+            qpos=jnp.clip(s.qpos, -1e3, 1e3),
+            qvel=jnp.clip(s.qvel, -1e2, 1e2),
+        )
+        return s, jnp.where(jnp.isfinite(r), r, 0.0)
 
     # rematerialize each step on the backward pass: BPTT memory stays
     # O(T * state) instead of O(T * substeps * intermediates)
-    _, rs = jax.lax.scan(jax.checkpoint(body), s, jnp.arange(STEPS))
-    return jnp.sum(rs)
+    if APG_TRUNC <= 0:
+        _, rs = jax.lax.scan(jax.checkpoint(body), s, jnp.arange(STEPS))
+        return jnp.sum(rs)
+    k = APG_TRUNC
+    n_win = STEPS // k
+
+    def window(carry, w):
+        s = jax.tree_util.tree_map(jax.lax.stop_gradient, carry)
+        s, rs = jax.lax.scan(
+            jax.checkpoint(body), s, w * k + jnp.arange(k)
+        )
+        return s, jnp.sum(rs)
+
+    _, r_win = jax.lax.scan(window, s, jnp.arange(n_win))
+    return jnp.sum(r_win)
 
 
 def run_apg(steps, cpg_w=None):
     import optax
 
     p = apg_init(jax.random.PRNGKey(0), cpg_w)
-    opt = optax.chain(
-        optax.clip_by_global_norm(1.0), optax.adam(1e-3)
+    # apply_if_finite: a diverged rollout's gradient (inf/NaN through the
+    # blown-up contact state) skips the update instead of permanently
+    # poisoning the params (observed: one bad step at lr 3e-3 NaN'd the
+    # whole run)
+    opt = optax.apply_if_finite(
+        optax.chain(optax.clip_by_global_norm(1.0), optax.adam(APG_LR)),
+        max_consecutive_errors=50,
     )
     st = opt.init(p)
 
