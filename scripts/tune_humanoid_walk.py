@@ -66,7 +66,8 @@ APG_TRUNC = (
     int(args[args.index("--apg-trunc") + 1]) if "--apg-trunc" in args else 0
 )
 STEPS = int(args[args.index("--steps") + 1]) if "--steps" in args else 500
-POP, SEEDS, ELITE = 128, 4, 12
+POP, ELITE = 128, 12
+SEEDS = int(args[args.index("--seeds") + 1]) if "--seeds" in args else 4
 
 env = make_env("humanoid_walk")
 P = env.default_params()
@@ -311,7 +312,9 @@ def run_apg(steps, cpg_w=None):
 
 def main():
     if APG > 0 and ITERS == 0:
-        run_apg(APG, cpg_w=None)
+        # standalone APG: seed the CPG drive with the round-2 CEM optimum
+        # mapped into the full space (the 186.8/500 shuffle) when asked
+        run_apg(APG, cpg_w=_full_init()[0] if APG_CPG else None)
         return
     if SMALL:
         mu, sig = W0_SMALL, SIG0_SMALL
