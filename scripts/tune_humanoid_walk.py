@@ -26,8 +26,14 @@ at zero so step 0 IS the stand controller; the phase features let it
 express a periodic gait the reactive CPG class cannot. Warm-start CPG
 terms come along via --apg-cpg (adds the CEM-best CPG drive underneath).
 
-Usage: python scripts/tune_humanoid_walk.py [iters] [--small|--fb] [--polish N]
-       [--apg N] [--steps N]
+  * ``pd`` (round 3, ``--pd``): a kinematic gait cycle (hip/knee/ankle
+    joint-angle trajectories, arms antiphase) tracked by per-joint PD
+    loops with learnable stiffness, over the balance blend + a
+    speed-servoed lean (13 params). The PD inner loop rejects contact
+    perturbations that knock purely additive torque CPGs over.
+
+Usage: python scripts/tune_humanoid_walk.py [iters] [--small|--fb|--pd]
+       [--polish N] [--apg N] [--steps N] [--seeds N]
 """
 
 import sys
@@ -147,9 +153,74 @@ def walk_action_fb(w, obs, t, dt):
     return jnp.clip(u, -1.0, 1.0)
 
 
+# pd space (round 3): a KINEMATIC gait cycle tracked by per-joint PD
+# loops instead of additive torque CPGs. Joint-angle targets:
+#   hips antiphase sin, knees rectified flexion on the swing leg (a knee
+#   can only bend backward: target in [-A_k, 0]), ankles push-off sin,
+#   arms swing opposite their hips; waist/neck targets 0 (trunk is
+#   handled by the balance blend + speed-servoed lean).
+# u_i = kp_i (qt_i - q_i) - kd_i qd_i maps target curves to torques with
+# the tracking stiffness itself learnable; this inner loop rejects the
+# contact perturbations that knock open-loop CPGs over.
+# w = [freq, lean, bal, A_hip, A_knee, ph_knee, A_ank, ph_ank, A_arm,
+#      kp_leg, kd_leg, k_v, v_ref]  (13 params)
+_PD_QIDX = jnp.arange(3, 15)  # actuated hinge q indices
+
+
+def _pd_targets(w, ph):
+    freq, A_h, A_k, ph_k, A_a, ph_a, A_arm = (
+        w[0], w[3], w[4], w[5], w[6], w[7], w[8],
+    )
+    del freq
+    s_l, s_r = jnp.sin(ph), jnp.sin(ph + jnp.pi)
+    hip_l, hip_r = A_h * s_l, A_h * s_r
+    # rectified swing-leg knee flexion (knee range is [-2, 0])
+    knee_l = -A_k * jnp.maximum(jnp.sin(ph + ph_k), 0.0)
+    knee_r = -A_k * jnp.maximum(jnp.sin(ph + jnp.pi + ph_k), 0.0)
+    ank_l = A_a * jnp.sin(ph + ph_a)
+    ank_r = A_a * jnp.sin(ph + jnp.pi + ph_a)
+    sho_l, sho_r = -A_arm * s_l, -A_arm * s_r
+    z = jnp.zeros(())
+    return jnp.stack(
+        [z, z, hip_l, knee_l, ank_l, hip_r, knee_r, ank_r,
+         sho_l, z, sho_r, z]
+    )
+
+
+def walk_action_pd(w, obs, t, dt):
+    lean, bal = w[1], w[2]
+    kp, kd = jnp.abs(w[9]), jnp.abs(w[10])
+    k_v, v_ref = w[11], w[12]
+    q = jnp.concatenate([jnp.zeros(1), obs[:14]])  # qpos (x unobserved)
+    qd = obs[14:]
+    vx = qd[0]
+    ph = 2.0 * jnp.pi * w[0] * t * dt
+    qt = _pd_targets(w, ph)
+    u_pd = kp * (qt - q[_PD_QIDX]) - kd * qd[_PD_QIDX]
+    # legs get the gait PD; waist/neck/arm torques mostly from balance
+    u = bal * humanoid_balance_policy(G_STAND, obs, env) + u_pd
+    u = u.at[0].add(-(lean + k_v * (v_ref - vx)))
+    return jnp.clip(u, -1.0, 1.0)
+
+
+# CEM init for the pd space: modest gait, stiff tracking, dm walk speed
+W0_PD = jnp.array(
+    [1.4, 0.05, 1.0, 0.35, 0.5, 1.2, 0.25, -0.8, 0.15, 2.0, 0.1, 0.3, 1.0]
+)
+SIG0_PD = jnp.array(
+    [0.4, 0.1, 0.3, 0.15, 0.25, 0.8, 0.15, 0.8, 0.1, 1.0, 0.1, 0.3, 0.4]
+)
+
 FB = "--fb" in args
+PD = "--pd" in args
 walk_action = (
-    walk_action_small if SMALL else (walk_action_fb if FB else walk_action_full)
+    walk_action_small
+    if SMALL
+    else (
+        walk_action_pd
+        if PD
+        else (walk_action_fb if FB else walk_action_full)
+    )
 )
 
 
@@ -318,6 +389,8 @@ def main():
         return
     if SMALL:
         mu, sig = W0_SMALL, SIG0_SMALL
+    elif PD:
+        mu, sig = W0_PD, SIG0_PD
     else:
         mu, sig = _full_init()
         if FB:
