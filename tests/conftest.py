@@ -17,6 +17,14 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# Wall-clock note (round 3): the suite is part compile-bound on this
+# 1-core box. jax_disable_most_optimizations was MEASURED as a fix and
+# rejected: it cuts compile ~25% on compile-heavy modules but raises
+# runtime on rollout-heavy ones for a net ~5% — and broke the fused-epoch
+# chunked-vs-single numerics comparison. The real lever (persistent
+# compile cache, 17 min -> 2 min warm) stays opt-in below because
+# jaxlib 0.9's executable serialization aborts intermittently on write.
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

@@ -33,7 +33,10 @@ def _random_lqr_terms(key, T, n, m):
     return A, B, cx, cu, cxx, cuu, cux
 
 
-@pytest.mark.parametrize("T,n,m", [(5, 3, 1), (50, 4, 2), (72, 2, 2)])
+# (5,3,1) covers the odd/tiny-horizon edge; (50,4,2) a non-power-of-two
+# production-scale horizon. A third (72,2,2) case added ~35s of compile
+# for no new property and was dropped.
+@pytest.mark.parametrize("T,n,m", [(5, 3, 1), (50, 4, 2)])
 def test_parallel_matches_sequential(T, n, m):
     terms = _random_lqr_terms(jax.random.PRNGKey(0), T, n, m)
     reg = jnp.float32(1e-6)
