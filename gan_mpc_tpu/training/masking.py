@@ -44,9 +44,14 @@ def masked_adam(
 
 def polyak_blend(old_params, new_params, factor: float):
     """``factor * old + (1 - factor) * new`` — the reference's post-update
-    cost-parameter averaging (``/root/reference/norm/cost_trainer.py:88-92``)."""
+    cost-parameter averaging (``/root/reference/norm/cost_trainer.py:88-92``).
+
+    Computed as ``old + (1 - factor) * (new - old)``: algebraically the
+    same, but bit-exact identity for components the phase optimizer froze
+    (``new == old``), where the naive two-product form drifts by 1 ulp.
+    """
     import jax
 
     return jax.tree_util.tree_map(
-        lambda a, b: factor * a + (1.0 - factor) * b, old_params, new_params
+        lambda a, b: a + (1.0 - factor) * (b - a), old_params, new_params
     )
