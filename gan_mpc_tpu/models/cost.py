@@ -55,9 +55,30 @@ class MPCCost:
     (4,) with a trailing action-GOAL weight, see ``stage``.
     """
 
-    def __init__(self, net: CostFeatureNet, horizon: int):
+    def __init__(
+        self,
+        net: CostFeatureNet,
+        horizon: int,
+        action_goal_scale: float = 1.0,
+        action_goal_squared: bool = False,
+    ):
         self.net = net
         self.horizon = horizon
+        # Action-goal term shaping (framework extension, no reference
+        # counterpart). The sigmoid-squashed weight caps at 1.0, but the
+        # regime that wins under domain shift is lam*|u - u_pred|^2 with
+        # lam ~ 5-50 (BENCHMARKS.md cheetah ureg sweep) — far outside
+        # what a <=1 pseudo-Huber term can express. `scale` multiplies
+        # the term; `squared` switches pseudo-Huber -> squared error to
+        # match the measured-winning objective exactly.
+        self.action_goal_scale = float(action_goal_scale)
+        self.action_goal_squared = bool(action_goal_squared)
+
+    def _action_goal_cost(self, du: jax.Array) -> jax.Array:
+        """Scalar action-goal penalty for a single du (last-dim vector)."""
+        if self.action_goal_squared:
+            return self.action_goal_scale * jnp.vdot(du, du)
+        return self.action_goal_scale * smoothed_norm(du)
 
     def init(self, key: jax.Array, xc_size: int) -> dict:
         net_params = self.net.init(key, jnp.zeros((xc_size,)))
@@ -91,7 +112,7 @@ class MPCCost:
             xc[:x_size] - goal
         )
         if raw_weights.shape[-1] > 3 and goal_U is not None:
-            cost = cost + w[3] * smoothed_norm(u - goal_U[t])
+            cost = cost + w[3] * self._action_goal_cost(u - goal_U[t])
         return cost
 
     def terminal(
@@ -118,7 +139,12 @@ class MPCCost:
         sn = lambda v: jnp.sqrt(jnp.sum(v * v, -1) + a * a) - a
         cost = w[0] * sn(U) + w[1] * sn(d)
         if raw_weights.shape[-1] > 3 and goal_u_tm is not None:
-            cost = cost + w[3] * sn(U - goal_u_tm[t][:, None])
+            du = U - goal_u_tm[t][:, None]
+            if self.action_goal_squared:
+                ag = self.action_goal_scale * jnp.sum(du * du, -1)
+            else:
+                ag = self.action_goal_scale * sn(du)
+            cost = cost + w[3] * ag
         return cost
 
     def terminal_cost_batch(self, X, net_params, raw_weights):
@@ -168,9 +194,15 @@ class MPCCost:
         cu = w[0] * gu
         cuu = w[0] * Hu
         if raw_weights.shape[-1] > 3 and goal_u_tm is not None:
-            gu2, Hu2 = huber(U - goal_u_tm[:T], eye_m)
-            cu = cu + w[3] * gu2
-            cuu = cuu + w[3] * Hu2
+            du = U - goal_u_tm[:T]
+            if self.action_goal_squared:
+                gu2 = 2.0 * du
+                Hu2 = jnp.broadcast_to(2.0 * eye_m, du.shape[:-1] + (m, m))
+            else:
+                gu2, Hu2 = huber(du, eye_m)
+            s = self.action_goal_scale
+            cu = cu + (w[3] * s) * gu2
+            cuu = cuu + (w[3] * s) * Hu2
         cux = jnp.zeros((T, B, m, n), X.dtype)
 
         # terminal: value/grad/hess of w2 |f(x)|^2, exact for relu nets

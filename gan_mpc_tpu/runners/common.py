@@ -39,7 +39,13 @@ def build_cost_model(config: Config, horizon: int) -> MPCCost:
     net = CostFeatureNet(
         hidden=tuple(mlp.hidden), features_out=mlp.features_out
     )
-    return MPCCost(net, horizon=horizon)
+    ccfg = config.mpc.model.cost
+    return MPCCost(
+        net,
+        horizon=horizon,
+        action_goal_scale=float(ccfg.get_path("action_goal_scale", 1.0)),
+        action_goal_squared=bool(ccfg.get_path("action_goal_squared", False)),
+    )
 
 
 def build_dynamics_model(config: Config, x_size: int) -> LearnedDynamics:

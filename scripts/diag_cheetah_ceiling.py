@@ -222,6 +222,8 @@ def main():
         "ureg5": lambda: make_ureg_policy(5.0, TrueShiftedDynamics()),
         "ureg20": lambda: make_ureg_policy(20.0, TrueShiftedDynamics()),
         "ureg5l": lambda: make_ureg_policy(5.0, policy.dynamics_model),
+        "ureg20l": lambda: make_ureg_policy(20.0, policy.dynamics_model),
+        "ureg50l": lambda: make_ureg_policy(50.0, policy.dynamics_model),
     }
     results = {}
     for name in VARIANTS:

@@ -183,6 +183,55 @@ def test_quad_batch_matches_ad_with_action_goal(flagship):
         )
 
 
+def test_quad_batch_matches_ad_scaled_squared_action_goal(flagship):
+    """The scaled/squared action-goal form (action_goal_scale=20,
+    action_goal_squared=True — the lam*|u - u_pred|^2 regime measured to
+    win under domain shift) quadratizes exactly like autodiff."""
+    from gan_mpc_tpu.models import MPCCost
+
+    policy, params, x_size, u_size = flagship
+    cost = MPCCost(
+        policy.cost_model.net,
+        horizon=policy.horizon,
+        action_goal_scale=20.0,
+        action_goal_squared=True,
+    )
+    B, T = 3, policy.horizon
+    k1, k2, k3, k4 = jax.random.split(KEY, 4)
+    X = 0.3 * jax.random.normal(k1, (T + 1, B, x_size))
+    U = 0.3 * jax.random.normal(k2, (T, B, u_size))
+    goal_tm = 0.3 * jax.random.normal(k3, (T + 1, B, x_size))
+    goal_u_tm = 0.3 * jax.random.normal(k4, (T, B, u_size))
+    theta_w = jnp.concatenate([params["mpc_weights"], jnp.array([0.7])])
+    theta_c = params["cost_params"]
+
+    an = cost.quad_batch(X, U, theta_c, theta_w, goal_tm, goal_u_tm)
+    stage = lambda x, u, t, g, gu: cost.stage(x, u, t, theta_w, g, gu)
+    term = lambda x: cost.terminal(x, theta_c, theta_w)
+    Xb, Ub = jnp.swapaxes(X, 0, 1), jnp.swapaxes(U, 0, 1)
+    ad = jax.vmap(
+        lambda X_, U_, g, gu: ilqr_mod._quadratize_split(
+            lambda x, u, t: stage(x, u, t, g, gu), term, X_, U_
+        )
+    )(Xb, Ub, jnp.swapaxes(goal_tm, 0, 1), jnp.swapaxes(goal_u_tm, 0, 1))
+    for name, a_, b_ in zip(["cx", "cu", "cxx", "cuu", "cux"], ad, an):
+        b_bm = jnp.swapaxes(b_, 0, 1)
+        a_ = a_[:, : b_bm.shape[1]]
+        np.testing.assert_allclose(
+            np.asarray(a_), np.asarray(b_bm), atol=2e-2, err_msg=name
+        )
+    # the batched stage cost agrees with the per-sample scalar stage
+    sc = cost.stage_cost_batch(
+        X[0][:, None], U[0][:, None], 0, theta_w, goal_tm, goal_u_tm
+    )
+    ref = jax.vmap(
+        lambda x, u, g, gu: cost.stage(x, u, 0, theta_w, g, gu)
+    )(X[0], U[0], jnp.swapaxes(goal_tm, 0, 1), jnp.swapaxes(goal_u_tm, 0, 1))
+    np.testing.assert_allclose(
+        np.asarray(sc[:, 0]), np.asarray(ref), atol=1e-4
+    )
+
+
 def test_batch_jacobian_matches_ad(flagship):
     policy, params, x_size, u_size = flagship
     theta_d = params["dynamics_params"]
