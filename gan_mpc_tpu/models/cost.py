@@ -104,7 +104,15 @@ class MPCCost:
         while executing the predictor's cloned actions returns 27.9
         (BENCHMARKS.md round 3). The weight is sigmoid-squashed and
         trained adversarially like the others, so the critic tunes how
-        much to trust actions vs states."""
+        much to trust actions vs states.
+
+        A 5th raw weight is the action-goal GAIN alpha (NOT squashed,
+        init 1.0): the tracked target becomes alpha * goal_U[t]. Under
+        domain shift the demonstrated torque AMPLITUDE can be wrong for
+        the new body (x3-mass cheetah wants ~1.5x the gait torques —
+        BENCHMARKS.md amplitude scan); alpha lets the adversarial critic
+        rescale the cloned actions, since faster planned states read as
+        more expert-like."""
         w = jax.nn.sigmoid(raw_weights)
         x_size = goal_X.shape[-1]
         goal = goal_X[t]
@@ -112,7 +120,12 @@ class MPCCost:
             xc[:x_size] - goal
         )
         if raw_weights.shape[-1] > 3 and goal_U is not None:
-            cost = cost + w[3] * self._action_goal_cost(u - goal_U[t])
+            gain = (
+                raw_weights[4] if raw_weights.shape[-1] > 4 else 1.0
+            )
+            cost = cost + w[3] * self._action_goal_cost(
+                u - gain * goal_U[t]
+            )
         return cost
 
     def terminal(
@@ -139,7 +152,8 @@ class MPCCost:
         sn = lambda v: jnp.sqrt(jnp.sum(v * v, -1) + a * a) - a
         cost = w[0] * sn(U) + w[1] * sn(d)
         if raw_weights.shape[-1] > 3 and goal_u_tm is not None:
-            du = U - goal_u_tm[t][:, None]
+            gain = raw_weights[4] if raw_weights.shape[-1] > 4 else 1.0
+            du = U - gain * goal_u_tm[t][:, None]
             if self.action_goal_squared:
                 ag = self.action_goal_scale * jnp.sum(du * du, -1)
             else:
@@ -194,7 +208,8 @@ class MPCCost:
         cu = w[0] * gu
         cuu = w[0] * Hu
         if raw_weights.shape[-1] > 3 and goal_u_tm is not None:
-            du = U - goal_u_tm[:T]
+            gain = raw_weights[4] if raw_weights.shape[-1] > 4 else 1.0
+            du = U - gain * goal_u_tm[:T]
             if self.action_goal_squared:
                 gu2 = 2.0 * du
                 Hu2 = jnp.broadcast_to(2.0 * eye_m, du.shape[:-1] + (m, m))

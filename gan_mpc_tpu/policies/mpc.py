@@ -183,6 +183,11 @@ class MPCPolicy:
         (history, u). Differentiable in params via the implicit VJP.
         """
         goal_xseq, init_useq = self.goals_and_warm_start(params, history_x)
+        # The ACTION-goal target is always the predictor's cloned actions
+        # (the BC signal that survives domain shift — BENCHMARKS.md ureg
+        # sweep); goal projection below is a STATE-goal/warm-start
+        # treatment and must not rewrite it.
+        u_goal = init_useq
         if warm_start_carry:
             carry = self.dynamics_model.warm_carry(
                 params["dynamics_params"], history_x[:-1], history_u
@@ -195,7 +200,7 @@ class MPCPolicy:
                 params["dynamics_params"], xc0, goal_xseq, init_useq
             )
         return self._plan(
-            self._theta(params), xc0, init_useq, (goal_xseq, init_useq), ()
+            self._theta(params), xc0, init_useq, (goal_xseq, u_goal), ()
         )
 
     def act(self, params, history_x, history_u) -> jax.Array:
@@ -230,6 +235,7 @@ class MPCPolicy:
         goal_X, init_U = jax.vmap(
             lambda hx: self.goals_and_warm_start(params, hx)
         )(history_X)
+        U_goal = init_U  # action-goal target: cloned actions, pre-projection
         if self.goal_projection > 0:
             goal_X, init_U = jax.vmap(
                 lambda x0, g, u: self.project_goals(
@@ -259,7 +265,7 @@ class MPCPolicy:
                 Bm.reshape(T, B, n, -1),
             )
 
-        goal_u_tm = jnp.swapaxes(init_U, 0, 1)  # (T, B, u) time-major
+        goal_u_tm = jnp.swapaxes(U_goal, 0, 1)  # (T, B, u) time-major
         problem = BatchProblem(
             dynamics_step=dynamics_step,
             dynamics_jac=dynamics_jac,

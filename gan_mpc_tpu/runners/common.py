@@ -168,6 +168,11 @@ def build_policy(
     ag = weights_cfg.get_path("action_goal")
     if ag is not None:
         mpc_weights.append(ag)
+        # optional 5th weight: action-goal GAIN alpha (raw, init ~1.0) —
+        # the tracked target is alpha * u_pred (models/cost.py stage)
+        gain = weights_cfg.get_path("action_goal_gain")
+        if gain is not None:
+            mpc_weights.append(gain)
     mpc_weights = tuple(mpc_weights)
     key = key if key is not None else jax.random.PRNGKey(config.seed)
     params = policy.init(

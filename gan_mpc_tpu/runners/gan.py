@@ -292,7 +292,10 @@ def run(config: Config, log_fn=print):
     ccfg, dcfg, qcfg = tcfg.cost, tcfg.dynamics, tcfg.critic
 
     cost_opt, cost_opt_state = masked_adam(
-        params, ccfg.no_grads, ccfg.learning_rate
+        params,
+        ccfg.no_grads,
+        ccfg.learning_rate,
+        weights_learning_rate=ccfg.get_path("weights_learning_rate"),
     )
     dyn_opt, dyn_opt_state = masked_adam(
         params, dcfg.no_grads, dcfg.learning_rate
@@ -478,6 +481,8 @@ def run(config: Config, log_fn=print):
     key, k_sel = jax.random.split(key)
     params = l2_runner.select_best_params(config, ctx, params, k_sel, log_fn)
     ctx["params"] = params
+    key, k_cal = jax.random.split(key)
+    params = l2_runner.calibrate_gain(config, ctx, k_cal, log_fn)
     key, k_eval = jax.random.split(key)
     avg_reward = l2_runner.evaluate(config, ctx, k_eval)
     dm_result = l2_runner.dm_cross_eval(config, ctx, log_fn)

@@ -258,6 +258,57 @@ def dm_cross_eval(config: Config, ctx, log_fn=None):
     return {"mean": round(mean_ret, 2), "episodes": [round(r, 2) for r in per]}
 
 
+def calibrate_gain(config: Config, ctx, key, log_fn=None):
+    """Reward-free action-goal-gain calibration by state-moment matching
+    against the demonstrations (training/calibrate.py). Config-gated:
+    ``mpc.model.cost.calibrate_action_goal_gain: true``. Returns the
+    (possibly updated) params and installs them in ``ctx``."""
+    ccfg = config.mpc.model.cost
+    if not ccfg.get_path("calibrate_action_goal_gain", False):
+        return ctx["params"]
+    if jnp.asarray(ctx["params"]["mpc_weights"]).shape[-1] < 4:
+        return ctx["params"]
+    from gan_mpc_tpu.training.calibrate import calibrate_action_goal_gain
+
+    ecfg = config.mpc.evaluate
+    grid = ccfg.get_path("gain_grid") or (
+        1.0, 1.1, 1.2, 1.3, 1.4, 1.5, 1.6, 1.8,
+    )
+    log = log_fn or print
+    # target moments come from the RAW demonstration states (identical to
+    # the normalizer's fit when state standardization is on, but correct
+    # for identity normalizers too)
+    states = jnp.asarray(ctx["trajs"].states)
+    t_mean = jnp.mean(states, axis=(0, 1))
+    t_std = jnp.std(states, axis=(0, 1)) + 1e-8
+
+    def rollout_fn(p):
+        ep = policy_rollout(
+            ctx["env_im"],
+            ctx["env_im_params"],
+            ctx["policy"],
+            p,
+            ctx["normalizer"],
+            key,
+            num_steps=ecfg.max_interactions,
+            history=config.mpc.history,
+            num_envs=max(ecfg.num_runs_for_avg, 1),
+        )
+        return ep.states
+
+    params = calibrate_action_goal_gain(
+        ctx["policy"],
+        ctx["params"],
+        rollout_fn,
+        t_mean,
+        t_std,
+        grid=tuple(float(g) for g in grid),
+        log=log,
+    )
+    ctx["params"] = params
+    return params
+
+
 def evaluate(config: Config, ctx, key, num_runs=None) -> float:
     ecfg = config.mpc.evaluate
     num_runs = ecfg.num_runs_for_avg if num_runs is None else num_runs
@@ -404,7 +455,10 @@ def run(config: Config, log_fn=print):
     ccfg, dcfg = tcfg.cost, tcfg.dynamics
 
     cost_opt, cost_opt_state = masked_adam(
-        params, ccfg.no_grads, ccfg.learning_rate
+        params,
+        ccfg.no_grads,
+        ccfg.learning_rate,
+        weights_learning_rate=ccfg.get_path("weights_learning_rate"),
     )
     dyn_opt, dyn_opt_state = masked_adam(
         params, dcfg.no_grads, dcfg.learning_rate
@@ -549,6 +603,8 @@ def run(config: Config, log_fn=print):
     key, k_sel = jax.random.split(key)
     params = select_best_params(config, ctx, params, k_sel, log_fn)
     ctx["params"] = params
+    key, k_cal = jax.random.split(key)
+    params = calibrate_gain(config, ctx, k_cal, log_fn)
     key, k_eval = jax.random.split(key)
     avg_reward = evaluate(config, ctx, k_eval)
     dm_result = dm_cross_eval(config, ctx, log_fn)

@@ -19,21 +19,42 @@ def masked_adam(
     no_grads: Iterable[str],
     learning_rate: float,
     max_grad_norm: float = 100.0,
+    weights_learning_rate: float | None = None,
 ):
     """(optimizer, opt_state) updating every top-level component of
-    ``params`` except those named in ``no_grads``."""
+    ``params`` except those named in ``no_grads``.
+
+    ``weights_learning_rate`` gives the (few, scalar-scale) raw
+    ``mpc_weights`` their own Adam step size: their gradients through
+    the implicit planner VJP are orders of magnitude smaller than the
+    net-parameter gradients, so a shared rate leaves them effectively
+    frozen (measured: 4e-4 total drift over 30 epochs on cheetah)."""
     frozen = set(no_grads)
     unknown = frozen - set(params)
     if unknown:
         raise ValueError(f"no_grads names unknown components: {sorted(unknown)}")
-    labels = {
-        name: ("frozen" if name in frozen else "learn") for name in params
-    }
+
+    def label(name):
+        if name in frozen:
+            return "frozen"
+        if name == "mpc_weights" and weights_learning_rate is not None:
+            return "weights"
+        return "learn"
+
+    labels = {name: label(name) for name in params}
     tx = optax.multi_transform(
         {
             "learn": optax.chain(
                 optax.clip_by_global_norm(max_grad_norm),
                 optax.adam(learning_rate),
+            ),
+            "weights": optax.chain(
+                optax.clip_by_global_norm(max_grad_norm),
+                optax.adam(
+                    weights_learning_rate
+                    if weights_learning_rate is not None
+                    else learning_rate
+                ),
             ),
             "frozen": optax.set_to_zero(),
         },

@@ -64,6 +64,9 @@ RUN = next(
 )
 N_ENVS = _opt("--envs", 6, int)
 N_STEPS = _opt("--steps", 1000, int)
+# --weights "a,s,t[,ag]" overrides the loaded run's raw mpc_weights for
+# the learned variants (operating-point sweep on fixed components)
+W_OVERRIDE = _opt("--weights", None, str)
 VARIANTS = _opt("--variants", "raw,proj2,stretch2,learned", str).split(",")
 
 
@@ -77,6 +80,12 @@ def main():
         config, env.obs_size, env.act_size, with_critic=True
     )
     params = io.load_params(template, RUN + "/params.msgpack")
+    if W_OVERRIDE is not None:
+        params = dict(params)
+        params["mpc_weights"] = jnp.array(
+            [float(v) for v in W_OVERRIDE.split(",")], dtype=jnp.float32
+        )
+        print("mpc_weights override:", params["mpc_weights"])
     mu, sd = norm.state_mean, norm.state_std
 
     class TrueShiftedDynamics:
@@ -143,7 +152,7 @@ def main():
             pol.goals_and_warm_start = stretched
         return pol
 
-    def make_ureg_policy(lam, dynamics):
+    def make_ureg_policy(lam, dynamics, directional=False, gain=1.0):
         """State-tracking stage cost PLUS lam*|u - u_pred|^2: the
         expert's cloned ACTIONS re-enter the objective, interpolating
         between pure state tracking (lam=0, measured 16.6 on true
@@ -155,7 +164,16 @@ def main():
         cost_model, expert_model = policy.cost_model, policy.expert_model
 
         def stage(xc, u, t, theta, goal_X, goal_U):
-            du = u - goal_U[t]
+            up = gain * goal_U[t]
+            if directional:
+                # penalize only the component of u ORTHOGONAL to the
+                # cloned action direction: pattern like the expert,
+                # amplitude free (the state goals set the amplitude)
+                n2 = jnp.sum(up * up)
+                uhat = up * jax.lax.rsqrt(n2 + 1e-8)
+                du = u - jnp.dot(u, uhat) * uhat * (n2 > 1e-8)
+            else:
+                du = u - up
             return cost_model.stage(
                 xc, u, t, theta["mpc_weights"], goal_X
             ) + lam * jnp.sum(du * du)
@@ -217,6 +235,16 @@ def main():
                 config.get_path("mpc.goal_projection_iters", 0)
             ),
         ),
+        "learned_noproj": lambda: make_policy(policy.dynamics_model),
+        "gait": lambda: type(
+            "Gait",
+            (),
+            {
+                "act": lambda self, p, hx, hu: collect.cheetah_gait_action(
+                    GAIT_T.add_then_get(), env.dt
+                )
+            },
+        )(),
         "uonly": lambda: UOnly(),
         "ureg1": lambda: make_ureg_policy(1.0, TrueShiftedDynamics()),
         "ureg5": lambda: make_ureg_policy(5.0, TrueShiftedDynamics()),
@@ -224,6 +252,21 @@ def main():
         "ureg5l": lambda: make_ureg_policy(5.0, policy.dynamics_model),
         "ureg20l": lambda: make_ureg_policy(20.0, policy.dynamics_model),
         "ureg50l": lambda: make_ureg_policy(50.0, policy.dynamics_model),
+        "udir5l": lambda: make_ureg_policy(
+            5.0, policy.dynamics_model, directional=True
+        ),
+        "udir20l": lambda: make_ureg_policy(
+            20.0, policy.dynamics_model, directional=True
+        ),
+        "udir5": lambda: make_ureg_policy(
+            5.0, TrueShiftedDynamics(), directional=True
+        ),
+        "ugain13": lambda: make_ureg_policy(
+            5.0, policy.dynamics_model, gain=1.3
+        ),
+        "ugain15": lambda: make_ureg_policy(
+            5.0, policy.dynamics_model, gain=1.5
+        ),
     }
     results = {}
     for name in VARIANTS:

@@ -90,6 +90,37 @@ def test_projection_wired_into_plan_and_batch():
     assert bool(jnp.all(jnp.isfinite(solb.obj)))
 
 
+def test_action_goal_target_survives_projection():
+    """With the 4-weight action-goal cost AND goal projection on, the
+    planner's action-goal target must be the predictor's pre-projection
+    cloned actions (the BC signal), NOT the projected warm start.
+    Regression: the projected-actions-as-target variant measured 15.5 on
+    the shifted cheetah vs 27.7 for cloned-action tracking."""
+    policy = _policy(goal_projection=3)
+    # huge squared action-goal term so the optimum pins U to the target
+    policy.cost_model.action_goal_scale = 1e4
+    policy.cost_model.action_goal_squared = True
+    params = policy.init(KEY, (-20.0, -20.0, -20.0, 20.0), U)
+    hx = 0.1 * jax.random.normal(KEY, (2, X))
+    hu = jnp.zeros((1, U))
+    goals, u_cloned = policy.goals_and_warm_start(params, hx)
+    _, u_proj = policy.project_goals(
+        params["dynamics_params"], hx[-1], goals, u_cloned
+    )
+    # make sure the two candidate targets actually differ
+    assert float(jnp.abs(u_cloned - u_proj).max()) > 1e-4
+    sol = policy.plan(params, hx, hu, warm_start_carry=False)
+    d_cloned = float(jnp.abs(sol.U - u_cloned).max())
+    d_proj = float(jnp.abs(sol.U - u_proj).max())
+    assert d_cloned < 1e-2, d_cloned
+    assert d_cloned < d_proj
+    # batch-native path pins to the same target
+    solb = policy.plan_batch(params, hx[None], hu[None])
+    np.testing.assert_allclose(
+        np.asarray(solb.U[0]), np.asarray(sol.U), atol=1e-3
+    )
+
+
 def test_projection_off_matches_previous_behavior():
     """goal_projection=0 must leave the plan identical to a policy built
     without the feature (default-off regression guard)."""
