@@ -21,7 +21,7 @@ from gan_mpc_tpu.data.trajectories import TrajectorySet
 # Bump an env's entry whenever its scripted expert's BEHAVIOR changes —
 # collection_fingerprint folds this in so cached trajectory stores
 # labeled by an older expert are re-collected, not silently reused.
-EXPERT_VERSION = {"pendulum_swingup": 2}
+EXPERT_VERSION = {"pendulum_swingup": 2, "humanoid_walk": 2}
 
 
 def scripted_expert(env):
@@ -159,6 +159,63 @@ def humanoid_balance_policy(g, obs, env=None):
     return jnp.clip(u, -1.0, 1.0)
 
 
+# PD-tracked kinematic walking gait for the planar humanoid, found by
+# warm-started CEM over the differentiable engine at full episode length
+# (scripts/tune_humanoid_walk.py --pd --steps 1000). A phase-indexed
+# joint-angle cycle (antiphase hip sin, rectified swing-knee flexion,
+# ankle push-off, arms antiphase) is tracked by per-joint PD loops whose
+# stiffness is itself tuned, on top of the stand balance blend + a
+# speed-servoed forward lean. Measured: 842.7/1000 on the CEM seeds,
+# 667.5/1000 mean over 16 fresh seeds — clears the reference's >500
+# expert gate (/root/reference/data_loader.py:25-27).
+# w = [freq, lean, bal, A_hip, A_knee, ph_knee, A_ank, ph_ank, A_arm,
+#      kp_leg, kd_leg, k_v, v_ref]
+_HUMANOID_WALK_PD = (
+    1.8214, 0.798, 0.6853, -0.131, -1.009, 1.2864, -0.3145, -0.2525,
+    0.9285, 3.0463, 0.0291, -0.1376, 1.1113,
+)
+_WALK_QIDX = tuple(range(3, 15))  # actuated hinge q indices
+
+
+def _walk_pd_targets(w, ph):
+    """Phase -> 12 joint-angle targets for the walking cycle."""
+    A_h, A_k, ph_k, A_a, ph_a, A_arm = w[3], w[4], w[5], w[6], w[7], w[8]
+    s_l, s_r = jnp.sin(ph), jnp.sin(ph + jnp.pi)
+    hip_l, hip_r = A_h * s_l, A_h * s_r
+    # rectified swing-leg knee flexion (knee range is [-2, 0])
+    knee_l = -A_k * jnp.maximum(jnp.sin(ph + ph_k), 0.0)
+    knee_r = -A_k * jnp.maximum(jnp.sin(ph + jnp.pi + ph_k), 0.0)
+    ank_l = A_a * jnp.sin(ph + ph_a)
+    ank_r = A_a * jnp.sin(ph + jnp.pi + ph_a)
+    sho_l, sho_r = -A_arm * s_l, -A_arm * s_r
+    z = jnp.zeros(())
+    return jnp.stack(
+        [z, z, hip_l, knee_l, ank_l, hip_r, knee_r, ank_r,
+         sho_l, z, sho_r, z]
+    )
+
+
+def humanoid_walk_action(obs: jax.Array, t: jax.Array, dt: float, env=None):
+    """Scripted humanoid walking expert: PD-tracked gait cycle over the
+    balance blend (state + time indexed)."""
+    w = jnp.asarray(_HUMANOID_WALK_PD)
+    lean, bal = w[1], w[2]
+    kp, kd = jnp.abs(w[9]), jnp.abs(w[10])
+    k_v, v_ref = w[11], w[12]
+    q = jnp.concatenate([jnp.zeros(1, obs.dtype), obs[:14]])
+    qd = obs[14:]
+    vx = qd[0]
+    ph = 2.0 * jnp.pi * w[0] * t * dt
+    qt = _walk_pd_targets(w, ph)
+    qidx = jnp.asarray(_WALK_QIDX)
+    u_pd = kp * (qt - q[qidx]) - kd * qd[qidx]
+    u = bal * humanoid_balance_policy(
+        jnp.asarray(_HUMANOID_STAND_GAINS), obs, env
+    ) + u_pd
+    u = u.at[0].add(-(lean + k_v * (v_ref - vx)))
+    return jnp.clip(u, -1.0, 1.0)
+
+
 # Open-loop CPG gait for cheetah_run, found by on-device evolution search
 # over the differentiable planar engine (mean forward speed ~2.4 m/s).
 # u_i(t) = tanh(amp_i sin(2 pi f t dt + phase_i) + offset_i).
@@ -178,15 +235,19 @@ def cheetah_gait_action(t: jax.Array, dt: float) -> jax.Array:
 
 
 def _collect_open_loop(
-    env, env_params, num_trajectories, key, num_steps, noise_sigma=0.1
+    env, env_params, num_trajectories, key, num_steps, noise_sigma=0.1,
+    action_fn=None,
 ):
-    """Collection for time-indexed open-loop experts (cheetah gait).
+    """Collection for time-indexed experts (cheetah gait, humanoid walk).
 
-    Same DART-style noise injection as the closed-loop path: the EXECUTED
+    ``action_fn(obs, t) -> u`` defaults to the cheetah gait. Same
+    DART-style noise injection as the closed-loop path: the EXECUTED
     action carries exploration noise while the LOGGED action is the clean
     gait command. Without it the logged transitions are a deterministic
     function of time and the learned dynamics cannot identify the action
     channel (the round-1 pendulum lesson, BENCHMARKS.md quality ladder)."""
+    if action_fn is None:
+        action_fn = lambda obs, t: cheetah_gait_action(t, env.dt)
 
     def one(k):
         k_reset, k_noise = jax.random.split(k)
@@ -195,7 +256,7 @@ def _collect_open_loop(
         def body(s, inp):
             t, kk = inp
             obs = env.observe(env_params, s)
-            u = cheetah_gait_action(t, env.dt)
+            u = action_fn(obs, t)
             u_exec = jnp.clip(
                 u + noise_sigma * jax.random.normal(kk, u.shape), -1.0, 1.0
             )
@@ -248,6 +309,18 @@ def collect_expert_trajectories(
             key,
             num_steps,
             noise_sigma=noise_sigma,
+        )
+    if env.name == "humanoid_walk":
+        return _collect_open_loop(
+            env,
+            env_params,
+            num_trajectories,
+            key,
+            num_steps,
+            noise_sigma=noise_sigma,
+            action_fn=lambda obs, t: humanoid_walk_action(
+                obs, t, env.dt, env
+            ),
         )
     policy = scripted_expert(env)
 

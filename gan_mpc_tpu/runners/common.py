@@ -211,7 +211,16 @@ def collection_fingerprint(config: Config) -> str:
         str(config.get_path("env.expert_episode_steps", 1000)),
         str(config.get_path("env.expert_noise", 0.25)),
         str(config.get_path("env.expert_reset_velocity", 0.0)),
-        str(max(config.mpc.train.num_trajectories, 4)),
+        str(
+            max(
+                config.get_path(
+                    "env.collect_trajectories",
+                    config.mpc.train.num_trajectories,
+                ),
+                config.mpc.train.num_trajectories,
+                4,
+            )
+        ),
         str(config.seed + 7),
         # bumped whenever a scripted expert's behavior changes: a cached
         # store labeled by an older expert must not be silently reused
@@ -260,7 +269,17 @@ def ensure_trajectories(config: Config) -> TrajectorySet:
         env = make_env(config.env.name)
         trajs = collect.collect_expert_trajectories(
             env,
-            max(train_cfg.num_trajectories, 4),
+            # collect_trajectories > num_trajectories oversamples so the
+            # min_reward gate can drop bad episodes and still keep the
+            # requested count (scripted experts are not fall-proof on the
+            # harder envs, e.g. humanoid_walk)
+            max(
+                config.get_path(
+                    "env.collect_trajectories", train_cfg.num_trajectories
+                ),
+                train_cfg.num_trajectories,
+                4,
+            ),
             jax.random.PRNGKey(config.seed + 7),
             num_steps=config.get_path("env.expert_episode_steps", 1000),
             noise_sigma=config.get_path("env.expert_noise", 0.25),

@@ -74,6 +74,13 @@ APG_TRUNC = (
 STEPS = int(args[args.index("--steps") + 1]) if "--steps" in args else 500
 POP, ELITE = 128, 12
 SEEDS = int(args[args.index("--seeds") + 1]) if "--seeds" in args else 4
+# --w "v1,v2,..." warm-starts the search at a specific weight vector
+# (e.g. a previous run's printed best); with ITERS==0 it just scores it.
+W_INIT = (
+    jnp.array([float(v) for v in args[args.index("--w") + 1].split(",")])
+    if "--w" in args
+    else None
+)
 
 env = make_env("humanoid_walk")
 P = env.default_params()
@@ -399,7 +406,14 @@ def main():
             # each loop
             mu = jnp.concatenate([mu, jnp.array([0.0, 1.0, 0.0])])
             sig = jnp.concatenate([sig, jnp.array([0.5, 0.4, 2.0])])
+    if W_INIT is not None:
+        assert W_INIT.shape == mu.shape, (W_INIT.shape, mu.shape)
+        mu, sig = W_INIT, 0.3 * sig
     best_w, best_r = mu, -jnp.inf
+    if ITERS == 0 and W_INIT is not None:
+        r = float(jnp.mean(score(mu[None], jax.random.PRNGKey(0))[0]))
+        print(f"eval-only: return {r:.1f} / {STEPS} over {SEEDS} seeds")
+        best_r = r
     for it in range(ITERS):
         k1 = jax.random.PRNGKey(1000 + it)
         pop = mu + sig * jax.random.normal(k1, (POP, mu.shape[0]))
