@@ -105,9 +105,16 @@ def batched_rollout(
     history: int,
     num_envs: int,
     action_noise: float = 0.0,
+    env_keys=None,
 ) -> EpisodeData:
-    """vmap N independent episodes (shared params, different reset keys)."""
-    keys = jax.random.split(key, num_envs)
+    """vmap N independent episodes (shared params, different reset keys).
+
+    ``env_keys`` (num_envs, 2) supplies each episode's key explicitly —
+    the sharded fused epoch splits keys GLOBALLY and hands each device
+    its rows, so episode content is invariant to the mesh size."""
+    keys = env_keys if env_keys is not None else jax.random.split(
+        key, num_envs
+    )
     return jax.vmap(
         lambda k: episode_rollout(
             env,
@@ -134,6 +141,7 @@ def batch_policy_rollout(
     history: int,
     num_envs: int,
     action_noise: float = 0.0,
+    env_keys=None,
 ) -> EpisodeData:
     """Closed-loop rollouts driven by a BATCH policy: one scan over time
     for all envs, calling ``batch_policy_fn(params, hist_X (B,h+1,x),
@@ -144,6 +152,7 @@ def batch_policy_rollout(
     step_fn, init_carry, noise_keys = _batch_rollout_parts(
         env, env_params, batch_policy_fn, policy_params, normalizer,
         key, num_steps, history, num_envs, action_noise,
+        env_keys=env_keys,
     )
     _, outs = jax.lax.scan(step_fn, init_carry, noise_keys)
     return _to_env_major(outs)
@@ -151,19 +160,32 @@ def batch_policy_rollout(
 
 def _batch_rollout_parts(
     env, env_params, batch_policy_fn, policy_params, normalizer,
-    key, num_steps, history, num_envs, action_noise,
+    key, num_steps, history, num_envs, action_noise, env_keys=None,
 ):
     """Shared machinery of the batch-of-envs rollouts: the per-step scan
-    body, the initial carry, and the per-step noise keys."""
+    body, the initial carry, and the per-step noise keys.
+
+    With ``env_keys`` (num_envs, 2), each env's reset AND exploration
+    noise derive from its own key (noise per env per step via fold_in),
+    so a mesh-sharded rollout of key rows reproduces the single-device
+    episode content exactly. Default (env_keys=None) keeps the original
+    layout: reset keys split from ``key``, one shared noise key per step.
+    """
     obs_size, act_size = env.obs_size, env.act_size
-    k_reset, k_noise = jax.random.split(key)
-    init_states = jax.vmap(lambda k: env.reset(env_params, k))(
-        jax.random.split(k_reset, num_envs)
-    )
+    if env_keys is not None:
+        per_env = jax.vmap(jax.random.split)(env_keys)  # (B, 2, 2)
+        reset_keys, noise_base = per_env[:, 0], per_env[:, 1]
+        scan_xs = jnp.arange(num_steps)
+    else:
+        k_reset, k_noise = jax.random.split(key)
+        reset_keys = jax.random.split(k_reset, num_envs)
+        noise_base = None
+        scan_xs = jax.random.split(k_noise, num_steps)
+    init_states = jax.vmap(lambda k: env.reset(env_params, k))(reset_keys)
     hist_x0 = jnp.zeros((num_envs, history + 1, obs_size), jnp.float32)
     hist_u0 = jnp.zeros((num_envs, history, act_size), jnp.float32)
 
-    def step_fn(carry, k_step):
+    def step_fn(carry, x_step):
         env_states, hist_x, hist_u = carry
         obs = jax.vmap(lambda s: env.observe(env_params, s))(env_states)
         xn = normalizer.normalize_state(obs)
@@ -171,11 +193,15 @@ def _batch_rollout_parts(
         u = batch_policy_fn(policy_params, hist_x, hist_u)
         u = jnp.asarray(u, dtype=jnp.float32)
         if action_noise > 0.0:
-            u = jnp.clip(
-                u + action_noise * jax.random.normal(k_step, u.shape),
-                -1.0,
-                1.0,
-            )
+            if noise_base is not None:
+                noise = jax.vmap(
+                    lambda k: jax.random.normal(
+                        jax.random.fold_in(k, x_step), (act_size,)
+                    )
+                )(noise_base)
+            else:
+                noise = jax.random.normal(x_step, u.shape)
+            u = jnp.clip(u + action_noise * noise, -1.0, 1.0)
         hist_u = jnp.roll(hist_u, -1, axis=1).at[:, -1].set(
             normalizer.normalize_action(u)
         )
@@ -186,7 +212,7 @@ def _batch_rollout_parts(
         return (env_states, hist_x, hist_u), (obs, u, reward, qpos, qvel)
 
     init_carry = (init_states, hist_x0, hist_u0)
-    return step_fn, init_carry, jax.random.split(k_noise, num_steps)
+    return step_fn, init_carry, scan_xs
 
 
 def _to_env_major(outs) -> EpisodeData:
@@ -253,6 +279,7 @@ def policy_rollout(
     history: int,
     num_envs: int,
     action_noise: float = 0.0,
+    env_keys=None,
 ) -> EpisodeData:
     """Rollout dispatcher: uses the batch-native planner path
     (``MPCPolicy.act_batch`` -> one solver for the whole env batch) when
@@ -269,6 +296,7 @@ def policy_rollout(
             history=history,
             num_envs=num_envs,
             action_noise=action_noise,
+            env_keys=env_keys,
         )
     return batched_rollout(
         env,
@@ -281,6 +309,7 @@ def policy_rollout(
         history=history,
         num_envs=num_envs,
         action_noise=action_noise,
+        env_keys=env_keys,
     )
 
 

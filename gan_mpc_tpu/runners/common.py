@@ -288,12 +288,56 @@ def ensure_trajectories(config: Config) -> TrajectorySet:
             ),
         )
         save_trajectories(path, trajs)
-    return load_trajectories(
+    out = load_trajectories(
         path,
         num_trajectories=train_cfg.num_trajectories,
         trajectory_len=train_cfg.trajectory_len,
         min_reward=min_reward,
     )
+    if out.states.shape[0] < train_cfg.num_trajectories:
+        # load_trajectories only errors at ZERO survivors; a silently
+        # smaller demo set (noisy scripted expert + reward gate) would
+        # otherwise skew training without a trace (ADVICE r3).
+        print(
+            f"[trajectories] WARNING: only {out.states.shape[0]} of the "
+            f"requested {train_cfg.num_trajectories} trajectories clear "
+            f"min_expert_reward={min_reward} in {path}; training "
+            f"proceeds on the smaller set — raise "
+            f"env.collect_trajectories to restore oversampling headroom"
+        )
+    return out
+
+
+def load_run_config(run_dir: str, fallback: Config | None = None) -> Config:
+    """Reconstruct the training Config of a SAVED run from its own
+    ``config.json`` (schema written by runners/{l2,gan}.py: env + seed +
+    ``policy`` = the mpc tree, and — for runs saved after round 4 —
+    ``expert_prediction``). Probing a run with a drifted CLI config
+    silently rebuilds the wrong policy/normalizer (ADVICE r3); this keeps
+    eval/diag tools on the run's own provenance. ``fallback`` (a CLI
+    config) fills sections older runs did not persist."""
+    import json
+
+    path = os.path.join(run_dir, "config.json")
+    with open(path) as fp:
+        saved = json.load(fp)
+    tree = {
+        "seed": saved.get("seed", 0),
+        "env": saved["env"],
+        "mpc": saved["policy"],
+    }
+    if "expert_prediction" in saved:
+        tree["expert_prediction"] = saved["expert_prediction"]
+    elif fallback is not None:
+        tree["expert_prediction"] = fallback.expert_prediction.to_dict()
+    else:
+        raise ValueError(
+            f"{path} predates expert_prediction provenance; pass the "
+            f"training YAML as a fallback config"
+        )
+    fb = fallback.to_dict() if fallback is not None else {}
+    tree["runtime"] = fb.get("runtime", {"workdir": "runs"})
+    return Config.from_dict(tree)
 
 
 def imitator_env(config: Config):

@@ -512,6 +512,8 @@ def run(config: Config, log_fn=print):
                 },
             },
             "policy": config.mpc.to_dict(),
+            # rebuildable provenance (see l2.py save site / ADVICE r3)
+            "expert_prediction": config.expert_prediction.to_dict(),
         },
         os.path.join(run_dir, "config.json"),
     )

@@ -630,6 +630,10 @@ def run(config: Config, log_fn=print):
                 },
             },
             "policy": config.mpc.to_dict(),
+            # the predictor ARCHITECTURE rides along so eval/diag tools
+            # can rebuild this run from its own provenance instead of a
+            # possibly-drifted CLI config (ADVICE r3)
+            "expert_prediction": config.expert_prediction.to_dict(),
         },
         os.path.join(run_dir, "config.json"),
     )

@@ -100,10 +100,23 @@ def make_fused_gan_epoch(
     chunk_updates: int = 0,
     plan_chunk: int = 0,
     collect_noise: float = 0.0,
+    mesh=None,
+    dp_axis: str = "dp",
 ):
     """Build the fused epoch. Returns
     ``epoch(params, opt_states, replay, key, teacher_forcing) ->
     (params, opt_states, replay, FusedEpochMetrics)``.
+
+    ``mesh``: run the SAME single-program epoch data-parallel over the
+    mesh's ``dp_axis`` (shard_map): collection envs, planning fan-outs,
+    and every minibatch shard across devices; params / optimizer state /
+    replay stay replicated and gradients ``pmean`` over the axis (ICI
+    collectives on TPU). Episode keys are split globally and row-sliced
+    per device, and each per-update loss is the pmean of equal-size
+    shard means — so the sharded epoch computes the single-device epoch
+    to fp reduction order (tests/test_parallel.py). Mesh mode composes
+    with the single-program epoch only (``chunk_updates`` must be 0; the
+    watchdog chunking exists for one overloaded chip, the mesh for many).
 
     When the test split is given, each epoch also emits held-out critic /
     generator losses (planning once on ``test_plan_batch`` test windows),
@@ -131,10 +144,53 @@ def make_fused_gan_epoch(
         edX, edU, edY = (jnp.asarray(a) for a in expert_dyn_windows)
     steps_per_update = max(exp_X.shape[0] // batch_size, 1)
 
+    if mesh is not None:
+        if chunk_updates:
+            raise ValueError(
+                "fused epoch: mesh mode and chunk_updates are exclusive"
+            )
+        num_dev = int(mesh.shape[dp_axis])
+        for name, v in (
+            ("num_envs", num_envs),
+            ("batch_size", batch_size),
+            ("critic_plan_batch", critic_plan_batch),
+        ):
+            if v % num_dev:
+                raise ValueError(
+                    f"fused epoch mesh mode: {name}={v} must divide the "
+                    f"{dp_axis} axis size {num_dev}"
+                )
+        if have_test and tX.shape[0] % num_dev:
+            raise ValueError(
+                f"fused epoch mesh mode: test_plan_batch={tX.shape[0]} "
+                f"must divide the {dp_axis} axis size {num_dev}"
+            )
+    else:
+        num_dev = 1
+
+    def _pmean(x):
+        return jax.lax.pmean(x, dp_axis) if mesh is not None else x
+
+    def _gather(x):
+        # reassemble the global batch from per-device shards
+        if mesh is None:
+            return x
+        return jax.lax.all_gather(x, dp_axis, axis=0, tiled=True)
+
+    def _rows(x):
+        # this device's equal-size slice of a replicated leading axis
+        if mesh is None:
+            return x
+        n = x.shape[0] // num_dev
+        return jax.lax.dynamic_slice_in_dim(
+            x, jax.lax.axis_index(dp_axis) * n, n
+        )
+
     def _scan_updates(params, opt, opt_state, loss_of_batch, perm):
         def body(carry, p):
             params, opt_state = carry
-            loss, grads = jax.value_and_grad(loss_of_batch)(params, p)
+            loss, grads = jax.value_and_grad(loss_of_batch)(params, _rows(p))
+            loss, grads = _pmean(loss), _pmean(grads)
             updates, opt_state = opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state), loss
@@ -156,7 +212,11 @@ def make_fused_gan_epoch(
 
     def _collect(params, replay, key):
         # on-policy collection (batched, fully on device; batch-native
-        # planner when the dynamics net supports it) + replay insert
+        # planner when the dynamics net supports it) + replay insert.
+        # Keys split GLOBALLY, rows per device: episode content is
+        # invariant to the mesh size; the gathered batch keeps the
+        # replicated replay identical on every device.
+        env_keys = _rows(jax.random.split(key, num_envs))
         episode = policy_rollout(
             env,
             env_params,
@@ -166,13 +226,14 @@ def make_fused_gan_epoch(
             key,
             num_steps=episode_steps,
             history=history,
-            num_envs=num_envs,
+            num_envs=num_envs // num_dev,
             action_noise=collect_noise,
+            env_keys=env_keys,
         )
-        ep_return = jnp.mean(jnp.sum(episode.rewards, axis=-1))
+        ep_return = _pmean(jnp.mean(jnp.sum(episode.rewards, axis=-1)))
         replay = replay.add_trajectories(
-            normalizer.normalize_state(episode.states),
-            normalizer.normalize_action(episode.actions),
+            _gather(normalizer.normalize_state(episode.states)),
+            _gather(normalizer.normalize_action(episode.actions)),
         )
         return replay, ep_return
 
@@ -213,7 +274,11 @@ def make_fused_gan_epoch(
         return jnp.mean(losses)
 
     def _make_fakes(params, hX):
-        return jax.vmap(lambda hx: _plan_states(params, hx))(hX)
+        # the planning fan-out shards over the mesh: each device plans
+        # its rows, the gather rebuilds the global fake batch
+        return _gather(
+            jax.vmap(lambda hx: _plan_states(params, hx))(_rows(hX))
+        )
 
     def _critic_loss_of(seqs, labels):
         def critic_batch_loss(params, idx):
@@ -232,8 +297,9 @@ def make_fused_gan_epoch(
         def gen_update(carry, idx):
             params, opt_state = carry
             loss, grads = policy.batched_loss_and_grad(
-                params, exp_X[idx], gan_generator_loss, ()
+                params, exp_X[_rows(idx)], gan_generator_loss, ()
             )
+            loss, grads = _pmean(loss), _pmean(grads)
             updates, opt_state = optimizers["cost"].update(
                 grads, opt_state, params
             )
@@ -270,8 +336,9 @@ def make_fused_gan_epoch(
         )
         return crit_test, gen_test
 
-    @jax.jit
-    def epoch(params, opt_states, replay: ReplayBuffer, key, teacher_forcing):
+    def _epoch_body(
+        params, opt_states, replay: ReplayBuffer, key, teacher_forcing
+    ):
         # independent streams per consumer (a shared key would correlate
         # the critic's plan-subset choice with its minibatch permutation)
         (
@@ -379,6 +446,25 @@ def make_fused_gan_epoch(
             generator_test_loss=gen_test,
         )
         return params, opt_states, replay, metrics
+
+    if mesh is not None:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        # everything in/out replicated: the data parallelism lives inside
+        # (per-device key rows / minibatch slices + pmean/all_gather)
+        epoch = jax.jit(
+            shard_map(
+                _epoch_body,
+                mesh=mesh,
+                in_specs=(P(), P(), P(), P(), P()),
+                out_specs=(P(), P(), P(), P()),
+                check_vma=False,
+            )
+        )
+        return epoch
+
+    epoch = jax.jit(_epoch_body)
 
     if not chunk_updates:
         return epoch

@@ -1,7 +1,10 @@
 """Closed-loop probe of a saved run's EXPERT PREDICTOR alone.
 
-Usage: python scripts/diag_predictor_closedloop.py <config.yaml> <run_dir>
-       [num_episodes=8]
+Usage: python scripts/diag_predictor_closedloop.py <run_dir>
+       [num_episodes=8] [--config fallback.yaml]
+
+The policy is rebuilt from the run dir's own config.json (ADVICE r3);
+``--config`` only supplies the expert arch for pre-round-4 runs.
 
 Executes the predictor's own 1-step predicted action at every visited
 state (pure behavior cloning, no MPC on top). This bounds what the MPC
@@ -31,9 +34,15 @@ from gan_mpc_tpu.utils import io
 
 
 def main():
-    cfg_path, run_dir = sys.argv[1], sys.argv[2]
-    n_ep = int(sys.argv[3]) if len(sys.argv) > 3 else 8
-    config = Config.from_yaml(cfg_path)
+    args = sys.argv[1:]
+    fallback = None
+    if "--config" in args:
+        i = args.index("--config")
+        fallback = Config.from_yaml(args[i + 1])
+        del args[i : i + 2]
+    run_dir = args[0]
+    n_ep = int(args[1]) if len(args) > 1 else 8
+    config = common.load_run_config(run_dir, fallback)
 
     env = make_env(config.env.name)
     trajs = common.ensure_trajectories(config)

@@ -1,13 +1,15 @@
 """Evaluate a saved imitator run: many-episode pure-JAX eval + real
 dm_control cross-eval.
 
-Usage: python scripts/eval_saved_imitator.py <config.yaml> <run_dir>
-       [num_episodes=16] [dm_episodes=5]
+Usage: python scripts/eval_saved_imitator.py <run_dir>
+       [num_episodes=16] [dm_episodes=5] [--config fallback.yaml]
 
-Loads params.msgpack from the run dir, rebuilds the policy from the
-config (the same factories the runners use), and reports mean/median/
-per-episode returns on the pure-JAX imitator env and inside the actual
-dm_control suite task.
+The policy/normalizer are rebuilt from the RUN DIR'S OWN config.json
+(runners persist env + mpc + expert_prediction provenance), so a drifted
+CLI yaml cannot skew the probe (ADVICE r3). ``--config`` supplies the
+expert-predictor architecture only for runs saved before that field
+existed. Reports mean/median/per-episode returns on the pure-JAX
+imitator env and inside the actual dm_control suite task.
 """
 
 import sys
@@ -32,10 +34,16 @@ from gan_mpc_tpu.utils import io
 
 
 def main():
-    cfg_path, run_dir = sys.argv[1], sys.argv[2]
-    n_ep = int(sys.argv[3]) if len(sys.argv) > 3 else 16
-    n_dm = int(sys.argv[4]) if len(sys.argv) > 4 else 5
-    config = Config.from_yaml(cfg_path)
+    args = sys.argv[1:]
+    fallback = None
+    if "--config" in args:
+        i = args.index("--config")
+        fallback = Config.from_yaml(args[i + 1])
+        del args[i : i + 2]
+    run_dir = args[0]
+    n_ep = int(args[1]) if len(args) > 1 else 16
+    n_dm = int(args[2]) if len(args) > 2 else 5
+    config = common.load_run_config(run_dir, fallback)
 
     env = make_env(config.env.name)
     trajs = common.ensure_trajectories(config)
