@@ -16,6 +16,14 @@ v5e chip with the round-2 batch-native time-major solver: ~55.1k steps/s
 at <=5 iters (40.8k at <=10, 63.8k at <=3); pendulum-class ~175k
 steps/s (see BENCHMARKS.md).
 Override via BENCH_ENV / BENCH_NUM_ENVS / BENCH_ILQR_ITERS / BENCH_HORIZON.
+
+BENCH_CHECKPOINT=<run_dir> benches a TRAINED imitator instead of the
+randomly-initialized flagship: policy, solver settings, env (with the
+run's physics shift), and normalizer are all rebuilt from the run's own
+config.json, so the headline steps/sec reflects the production policy —
+including the convergence-gated early exit a trained cost/dynamics
+actually earns (random weights barely converge, so the default row is
+the PESSIMISTIC bound).
 """
 
 import json
@@ -37,30 +45,55 @@ def main():
     import __graft_entry__ as ge
     from gan_mpc_tpu.data.normalizer import Normalizer
     from gan_mpc_tpu.envs import make_env
-    from gan_mpc_tpu.envs.rollout import batch_policy_rollout
+    from gan_mpc_tpu.envs.rollout import policy_rollout
 
-    env = make_env(env_name)
-    policy, params, x_size, u_size = ge._flagship(
-        horizon=horizon,
-        max_iterations=max_iters,
-        x_size=env.obs_size,
-        u_size=env.act_size,
-    )
-    norm = Normalizer.identity(x_size, u_size)
+    checkpoint = os.environ.get("BENCH_CHECKPOINT", "")
+    if checkpoint:
+        from flax import serialization
 
-    # Batch-native planner path: the whole env batch enters ONE solver
-    # instance (planner/batch_ilqr.py) and the fused batch MLP ops see
-    # real batches in the hot loop.
+        from gan_mpc_tpu.runners import common
+        from gan_mpc_tpu.utils import io
+
+        config = common.load_run_config(checkpoint)
+        env, env_params = common.imitator_env(config)
+        env_name = config.env.name + " (trained ckpt)"
+        horizon = config.mpc.horizon
+        max_iters = config.mpc.get_path("solver.max_iterations", 30)
+        trajs = common.ensure_trajectories(config)
+        norm = common.build_normalizer(config, trajs)
+        with open(checkpoint + "/params.msgpack", "rb") as fp:
+            raw = serialization.msgpack_restore(fp.read())
+        policy, template = common.build_policy(
+            config, env.obs_size, env.act_size,
+            with_critic="critic_params" in raw,
+        )
+        params = io.load_params(template, checkpoint + "/params.msgpack")
+        history = config.mpc.history
+    else:
+        env = make_env(env_name)
+        env_params = env.default_params()
+        policy, params, x_size, u_size = ge._flagship(
+            horizon=horizon,
+            max_iterations=max_iters,
+            x_size=env.obs_size,
+            u_size=env.act_size,
+        )
+        norm = Normalizer.identity(x_size, u_size)
+        history = 1
+
+    # Batch-native planner path when the dynamics net supports it: the
+    # whole env batch enters ONE solver instance (planner/batch_ilqr.py)
+    # and the fused batch MLP ops see real batches in the hot loop.
     run = jax.jit(
-        lambda params, key: batch_policy_rollout(
+        lambda params, key: policy_rollout(
             env,
-            env.default_params(),
-            policy.act_batch,
+            env_params,
+            policy,
             params,
             norm,
             key,
             num_steps=num_steps,
-            history=1,
+            history=history,
             num_envs=num_envs,
         )
     )

@@ -58,6 +58,13 @@ APG = int(args[args.index("--apg") + 1]) if "--apg" in args else 0
 APG_LR = (
     float(args[args.index("--apg-lr") + 1]) if "--apg-lr" in args else 1e-3
 )
+# truncated-BPTT window: gradients flow within each window only (stop-grad
+# at boundaries). Full-episode chains through 1000 steps of contact
+# dynamics are non-finite almost every step (measured); windows of ~50
+# keep them finite and still span several gait cycles of credit.
+APG_TRUNC = (
+    int(args[args.index("--apg-trunc") + 1]) if "--apg-trunc" in args else 50
+)
 LOAD = args[args.index("--load") + 1] if "--load" in args else None
 SAVE = args[args.index("--save") + 1] if "--save" in args else None
 W_INIT = (
@@ -74,7 +81,9 @@ QIDX = jnp.asarray(_WALK_QIDX)
 
 def walk_action_phase(w, obs):
     """w = [the 13 PD-gait params (collect._HUMANOID_WALK_PD layout),
-    delta (phase lead)]."""
+    delta (phase lead)] or, in --proj mode, those 14 followed by two
+    29-dim observation projections (a, b) generalizing the hand-picked
+    hip-antiphase phase signal: ph = atan2(a.obs, b.obs) + delta."""
     lean, bal = w[1], w[2]
     kp, kd = jnp.abs(w[9]), jnp.abs(w[10])
     k_v, v_ref, delta = w[11], w[12], w[13]
@@ -83,14 +92,33 @@ def walk_action_phase(w, obs):
     qd = obs[14:]
     vx = qd[0]
     joints, jointsd = obs[2:14], obs[17:29]
-    d = 0.5 * (joints[2] - joints[5])
-    dd = 0.5 * (jointsd[2] - jointsd[5])
-    ph = jnp.arctan2(d / A_h, dd / (A_h * omega)) + delta
+    if w.shape[0] > 14:
+        a, b = w[14:43], w[43:72]
+        ph = jnp.arctan2(jnp.dot(a, obs), jnp.dot(b, obs)) + delta
+    else:
+        d = 0.5 * (joints[2] - joints[5])
+        dd = 0.5 * (jointsd[2] - jointsd[5])
+        ph = jnp.arctan2(d / A_h, dd / (A_h * omega)) + delta
     qt = _walk_pd_targets(w, ph)
     u_pd = kp * (qt - q[QIDX]) - kd * qd[QIDX]
     u = bal * humanoid_balance_policy(G_STAND, obs, env) + u_pd
     u = u.at[0].add(-(lean + k_v * (v_ref - vx)))
     return jnp.clip(u, -1.0, 1.0)
+
+
+def extend_with_projections(w14):
+    """Embed the hand-picked hip estimator into the 72-dim --proj space
+    (exactly equivalent at init)."""
+    A_h, omega = w14[3], 2.0 * jnp.pi * w14[0]
+    a = jnp.zeros(29).at[4].set(0.5 / A_h).at[7].set(-0.5 / A_h)
+    b = (
+        jnp.zeros(29)
+        .at[19]
+        .set(0.5 / (A_h * omega))
+        .at[22]
+        .set(-0.5 / (A_h * omega))
+    )
+    return jnp.concatenate([w14, a, b])
 
 
 def episode(w, key):
@@ -140,8 +168,19 @@ def apg_episode(p, key):
         )
         return s, jnp.where(jnp.isfinite(r), r, 0.0)
 
-    _, rs = jax.lax.scan(jax.checkpoint(body), s, None, length=STEPS)
-    return jnp.sum(rs)
+    if APG_TRUNC <= 0:
+        _, rs = jax.lax.scan(jax.checkpoint(body), s, None, length=STEPS)
+        return jnp.sum(rs)
+    k = APG_TRUNC
+    n_win = STEPS // k
+
+    def window(carry, _):
+        s = jax.tree_util.tree_map(jax.lax.stop_gradient, carry)
+        s, rs = jax.lax.scan(jax.checkpoint(body), s, None, length=k)
+        return s, jnp.sum(rs)
+
+    _, r_win = jax.lax.scan(window, s, None, length=n_win)
+    return jnp.sum(r_win)
 
 
 def run_apg(w, steps):
@@ -216,12 +255,54 @@ def run_apg(w, steps):
         print(f"saved to {SAVE}")
 
 
+PROJ = "--proj" in args
+
+
 def main():
     base = jnp.asarray(_HUMANOID_WALK_PD)
     key = jax.random.PRNGKey(0)
     if APG:
         w = W_INIT if W_INIT is not None else base
         run_apg(w, APG)
+        return
+    if PROJ:
+        assert W_INIT is not None, "--proj needs a tuned 14-dim --w seed"
+        w = (
+            W_INIT
+            if W_INIT.shape[0] > 14
+            else extend_with_projections(W_INIT)
+        )
+        r = score(w[None], key)
+        print(f"proj seed: {float(r[0]):.1f}")
+        mu = w
+        sig = jnp.concatenate(
+            [
+                jnp.array(
+                    [0.1, 0.05, 0.1, 0.02, 0.1, 0.15, 0.05, 0.15, 0.1,
+                     0.4, 0.01, 0.05, 0.1, 0.12]
+                ),
+                # projection entries explore at ~15% of the init scale
+                0.15 * jnp.maximum(jnp.abs(w[14:]), 1.0),
+            ]
+        )
+        pop, elite = 64, 8
+        for i in range(CEM):
+            key, k1, k2 = jax.random.split(key, 3)
+            cand = mu + sig * jax.random.normal(k1, (pop, mu.shape[0]))
+            cand = jnp.concatenate([mu[None], cand], axis=0)
+            r = score(cand, k2)
+            top = jnp.argsort(-r)[:elite]
+            mu = jnp.mean(cand[top], axis=0)
+            sig = jnp.std(cand[top], axis=0) + 0.005
+            print(
+                f"cem {i}: best {float(r[top[0]]):.1f} "
+                f"elite-mean {float(jnp.mean(r[top])):.1f}",
+                flush=True,
+            )
+        key, kf = jax.random.split(key)
+        r = score(mu[None], kf)
+        print(f"final mu: {float(r[0]):.1f}")
+        print("w =", ",".join(f"{float(v):.4f}" for v in mu))
         return
     if W_INIT is not None and CEM == 0:
         r = score(W_INIT[None], key)

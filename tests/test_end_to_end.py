@@ -1,10 +1,17 @@
 """End-to-end smoke tests: expert -> L2-MPC -> GAN-MPC on pendulum with a
-tiny configuration (small nets / few steps so CI stays fast)."""
+tiny configuration (small nets / few steps so CI stays fast).
+
+Marked ``slow``: with test_end_to_end_variants and the fused-epoch
+subprocess cases, these carry ~75% of the suite's wall-clock (compile-
+bound on this 1-core box). Fast iteration path: ``pytest tests/ -m "not
+slow" -q`` (~10 min); the full suite stays the driver/CI entry point."""
 
 import jax
 import pytest
 
 from gan_mpc_tpu.config import Config
+
+pytestmark = pytest.mark.slow
 
 TINY_OVERRIDES = """
 seed: 0

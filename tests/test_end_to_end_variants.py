@@ -7,6 +7,8 @@ from gan_mpc_tpu.config import Config
 
 from tests.test_end_to_end import TINY_OVERRIDES
 
+pytestmark = pytest.mark.slow  # see test_end_to_end.py docstring
+
 
 @pytest.fixture()
 def workdir(tmp_path):

@@ -17,6 +17,11 @@ import os
 import subprocess
 import sys
 
+import pytest
+
+# the heaviest compiles in the suite; see test_end_to_end.py docstring
+pytestmark = pytest.mark.slow
+
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
