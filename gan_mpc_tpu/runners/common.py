@@ -308,6 +308,23 @@ def ensure_trajectories(config: Config) -> TrajectorySet:
     return out
 
 
+def maybe_mesh(config: Config):
+    """A data-parallel mesh when ``runtime.data_parallel_devices`` > 1,
+    else None (single-device). The fused epochs run the SAME program
+    either way (training/fused_epoch.py mesh mode)."""
+    n = int(config.get_path("runtime.data_parallel_devices", 1) or 1)
+    if n <= 1:
+        return None
+    from gan_mpc_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < n:
+        raise ValueError(
+            f"runtime.data_parallel_devices={n} but only "
+            f"{len(jax.devices())} devices are attached"
+        )
+    return make_mesh(n)
+
+
 def load_run_config(run_dir: str, fallback: Config | None = None) -> Config:
     """Reconstruct the training Config of a SAVED run from its own
     ``config.json`` (schema written by runners/{l2,gan}.py: env + seed +

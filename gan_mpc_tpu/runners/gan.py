@@ -43,6 +43,10 @@ def _run_fused_epochs(
     ccfg, dcfg, qcfg = tcfg.cost, tcfg.dynamics, tcfg.critic
     cost_train, cost_test = ctx["cost_data"]
     n_envs = config.get_path("runtime.num_parallel_envs", 1)
+    # runtime.data_parallel_devices > 1 runs every epoch dp-sharded over
+    # a device mesh (training/fused_epoch.py mesh mode) — the multi-chip
+    # path for the shipping configuration
+    mesh = common.maybe_mesh(config)
     epoch_fn = make_fused_gan_epoch(
         ctx["policy"],
         ctx["env_im"],
@@ -70,6 +74,7 @@ def _run_fused_epochs(
         chunk_updates=config.get_path("runtime.fused_chunk_updates", 0),
         plan_chunk=config.get_path("runtime.fused_plan_chunk", 0),
         collect_noise=dcfg.get_path("collection_noise", 0.0),
+        mesh=mesh,
     )
     # epoch-1 dynamics warm start on the expert windows, as in the
     # modular path (training/dynamics.py:136-150)

@@ -653,12 +653,15 @@ def make_fused_l2_epoch(
     chunk_updates: int = 0,
     plan_chunk: int = 0,
     collect_noise: float = 0.0,
+    mesh=None,
+    dp_axis: str = "dp",
 ):
     """Fused single-program L2-MPC epoch: collection -> dynamics updates
     -> bilevel L2 cost updates (+ Polyak), the L2 counterpart of
     ``make_fused_gan_epoch`` (``/root/reference/norm/runner.py:101-145``
     as one XLA program). ``chunk_updates``/``plan_chunk`` select the
-    watchdog-safe chunked mode (see module docstring)."""
+    watchdog-safe chunked mode (see module docstring); ``mesh`` the
+    data-parallel shard_map mode (same contract as the GAN epoch)."""
     from gan_mpc_tpu.policies.losses import l2_imitation_loss
 
     exp_X = jnp.asarray(expert_history_X)
@@ -672,10 +675,45 @@ def make_fused_l2_epoch(
         edX, edU, edY = (jnp.asarray(a) for a in expert_dyn_windows)
     steps_per_update = max(exp_X.shape[0] // batch_size, 1)
 
+    if mesh is not None:
+        if chunk_updates:
+            raise ValueError(
+                "fused epoch: mesh mode and chunk_updates are exclusive"
+            )
+        num_dev = int(mesh.shape[dp_axis])
+        for name, v in (
+            ("num_envs", num_envs),
+            ("batch_size", batch_size),
+        ):
+            if v % num_dev:
+                raise ValueError(
+                    f"fused epoch mesh mode: {name}={v} must divide the "
+                    f"{dp_axis} axis size {num_dev}"
+                )
+    else:
+        num_dev = 1
+
+    def _pmean(x):
+        return jax.lax.pmean(x, dp_axis) if mesh is not None else x
+
+    def _gather(x):
+        if mesh is None:
+            return x
+        return jax.lax.all_gather(x, dp_axis, axis=0, tiled=True)
+
+    def _rows(x):
+        if mesh is None:
+            return x
+        n = x.shape[0] // num_dev
+        return jax.lax.dynamic_slice_in_dim(
+            x, jax.lax.axis_index(dp_axis) * n, n
+        )
+
     def _scan_updates(params, opt, opt_state, loss_of_batch, perm):
         def body(carry, p):
             params, opt_state = carry
-            loss, grads = jax.value_and_grad(loss_of_batch)(params, p)
+            loss, grads = jax.value_and_grad(loss_of_batch)(params, _rows(p))
+            loss, grads = _pmean(loss), _pmean(grads)
             updates, opt_state = opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state), loss
@@ -688,6 +726,7 @@ def make_fused_l2_epoch(
     # ---- phase bodies, shared by the single-program and chunked modes ----
 
     def _collect(params, replay, key):
+        env_keys = _rows(jax.random.split(key, num_envs))
         episode = policy_rollout(
             env,
             env_params,
@@ -697,13 +736,14 @@ def make_fused_l2_epoch(
             key,
             num_steps=episode_steps,
             history=history,
-            num_envs=num_envs,
+            num_envs=num_envs // num_dev,
             action_noise=collect_noise,
+            env_keys=env_keys,
         )
-        ep_return = jnp.mean(jnp.sum(episode.rewards, axis=-1))
+        ep_return = _pmean(jnp.mean(jnp.sum(episode.rewards, axis=-1)))
         replay = replay.add_trajectories(
-            normalizer.normalize_state(episode.states),
-            normalizer.normalize_action(episode.actions),
+            _gather(normalizer.normalize_state(episode.states)),
+            _gather(normalizer.normalize_action(episode.actions)),
         )
         return replay, ep_return
 
@@ -746,9 +786,12 @@ def make_fused_l2_epoch(
     def _cost_scan(params, cost_state, perm):
         def cost_update(carry, idx):
             params, opt_state = carry
+            idx_local = _rows(idx)
             loss, grads = policy.batched_loss_and_grad(
-                params, exp_X[idx], l2_imitation_loss, (exp_Y[idx],)
+                params, exp_X[idx_local], l2_imitation_loss,
+                (exp_Y[idx_local],),
             )
+            loss, grads = _pmean(loss), _pmean(grads)
             updates, opt_state = optimizers["cost"].update(
                 grads, opt_state, params
             )
@@ -771,8 +814,9 @@ def make_fused_l2_epoch(
 
         return jnp.mean(jax.vmap(test_loss_one)(hX, hY))
 
-    @jax.jit
-    def epoch(params, opt_states, replay: ReplayBuffer, key, teacher_forcing):
+    def _epoch_body(
+        params, opt_states, replay: ReplayBuffer, key, teacher_forcing
+    ):
         k_collect, k_dyn, k_cost = jax.random.split(key, 3)
 
         replay, ep_return = _collect(params, replay, k_collect)
@@ -828,6 +872,23 @@ def make_fused_l2_epoch(
             cost_test_loss=cost_test,
         )
         return params, opt_states, replay, metrics
+
+    if mesh is not None:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        epoch = jax.jit(
+            shard_map(
+                _epoch_body,
+                mesh=mesh,
+                in_specs=(P(), P(), P(), P(), P()),
+                out_specs=(P(), P(), P(), P()),
+                check_vma=False,
+            )
+        )
+        return epoch
+
+    epoch = jax.jit(_epoch_body)
 
     if not chunk_updates:
         return epoch

@@ -79,11 +79,35 @@ G_STAND = jnp.asarray(_HUMANOID_STAND_GAINS)
 QIDX = jnp.asarray(_WALK_QIDX)
 
 
+_PHASE_GRID = jnp.linspace(-jnp.pi, jnp.pi, 64, endpoint=False)
+
+
+def phase_from_pose(w, q_joints, qd_joints, lam):
+    """Memoryless phase estimate by matching the FULL 12-joint pose (and
+    its velocity) against the known kinematic cycle: grid argmin over
+    phase of ||qt(ph) - q||^2 + lam ||omega qt'(ph) - qd||^2. Far
+    stronger than a 2-joint projection — on the limit cycle the pose
+    determines the phase almost everywhere, and the velocity term breaks
+    the mirror-crossing ties."""
+    omega = 2.0 * jnp.pi * w[0]
+    qts = jax.vmap(lambda p: _walk_pd_targets(w, p))(_PHASE_GRID)
+    qdts = (
+        jax.vmap(jax.jacfwd(lambda p: _walk_pd_targets(w, p)))(_PHASE_GRID)
+        * omega
+    )
+    err = jnp.sum((qts - q_joints) ** 2, axis=-1) + lam * jnp.sum(
+        (qdts - qd_joints) ** 2, axis=-1
+    )
+    return _PHASE_GRID[jnp.argmin(err)]
+
+
 def walk_action_phase(w, obs):
     """w = [the 13 PD-gait params (collect._HUMANOID_WALK_PD layout),
     delta (phase lead)] or, in --proj mode, those 14 followed by two
     29-dim observation projections (a, b) generalizing the hand-picked
-    hip-antiphase phase signal: ph = atan2(a.obs, b.obs) + delta."""
+    hip-antiphase phase signal: ph = atan2(a.obs, b.obs) + delta.
+    In --match mode w has 15 entries: [..., delta, lam] and the phase
+    comes from full-pose matching (phase_from_pose)."""
     lean, bal = w[1], w[2]
     kp, kd = jnp.abs(w[9]), jnp.abs(w[10])
     k_v, v_ref, delta = w[11], w[12], w[13]
@@ -92,7 +116,9 @@ def walk_action_phase(w, obs):
     qd = obs[14:]
     vx = qd[0]
     joints, jointsd = obs[2:14], obs[17:29]
-    if w.shape[0] > 14:
+    if w.shape[0] == 15:
+        ph = phase_from_pose(w, joints, jointsd, jnp.abs(w[14])) + delta
+    elif w.shape[0] > 15:
         a, b = w[14:43], w[43:72]
         ph = jnp.arctan2(jnp.dot(a, obs), jnp.dot(b, obs)) + delta
     else:
@@ -256,11 +282,64 @@ def run_apg(w, steps):
 
 
 PROJ = "--proj" in args
+MATCH = "--match" in args
+
+
+def _cem(mu, sig, key, iters, pop=64, elite=8):
+    for i in range(iters):
+        key, k1, k2 = jax.random.split(key, 3)
+        cand = mu + sig * jax.random.normal(k1, (pop, mu.shape[0]))
+        cand = jnp.concatenate([mu[None], cand], axis=0)
+        r = score(cand, k2)
+        top = jnp.argsort(-r)[:elite]
+        mu = jnp.mean(cand[top], axis=0)
+        sig = jnp.std(cand[top], axis=0) + 0.005
+        print(
+            f"cem {i}: best {float(r[top[0]]):.1f} "
+            f"elite-mean {float(jnp.mean(r[top])):.1f}",
+            flush=True,
+        )
+    return mu, key
 
 
 def main():
     base = jnp.asarray(_HUMANOID_WALK_PD)
     key = jax.random.PRNGKey(0)
+    if MATCH:
+        base13 = W_INIT[:13] if W_INIT is not None else base
+        if W_INIT is not None and W_INIT.shape[0] == 15:
+            mu = W_INIT
+            r = score(mu[None], key)
+            print(f"given w15: {float(r[0]):.1f}")
+        else:
+            # stage 1: grid over (phase lead, velocity weight)
+            deltas = jnp.linspace(0.0, 1.2, 7)
+            lams = jnp.array([0.0003, 0.001, 0.003, 0.01, 0.03])
+            ws = jnp.stack(
+                [
+                    jnp.concatenate([base13, jnp.array([d, l])])
+                    for d in deltas
+                    for l in lams
+                ]
+            )
+            rs = score(ws, key)
+            best = int(jnp.argmax(rs))
+            mu = ws[best]
+            print(
+                f"match grid best: delta {float(mu[13]):.2f} "
+                f"lam {float(mu[14]):.4f} -> {float(rs[best]):.1f}"
+            )
+        if CEM:
+            sig = jnp.array(
+                [0.15, 0.08, 0.15, 0.03, 0.15, 0.2, 0.08, 0.2, 0.15,
+                 0.6, 0.015, 0.08, 0.15, 0.15, 0.0]
+            ).at[14].set(0.5 * jnp.abs(mu[14]) + 0.001)
+            mu, key = _cem(mu, sig, key, CEM)
+            key, kf = jax.random.split(key)
+            r = score(mu[None], kf)
+            print(f"final mu: {float(r[0]):.1f}")
+            print("w =", ",".join(f"{float(v):.4f}" for v in mu))
+        return
     if APG:
         w = W_INIT if W_INIT is not None else base
         run_apg(w, APG)

@@ -184,7 +184,7 @@ def test_fused_gan_epoch_mesh_matches_single_device(gan_setup):
         assert jnp.allclose(vs, vm, atol=5e-4, rtol=1e-3), (name, vs, vm)
 
 
-def test_fused_l2_epoch_runs_and_learns():
+def _l2_setup():
     from gan_mpc_tpu.training.fused_epoch import make_fused_l2_epoch
 
     env = PendulumSwingup()
@@ -217,16 +217,25 @@ def test_fused_l2_epoch_runs_and_learns():
     exp_Y = 0.1 * jax.random.normal(
         jax.random.PRNGKey(1), (n_windows, H + 1, x)
     )
-    epoch = make_fused_l2_epoch(
-        policy, env, env.default_params(), norm, opts, exp_X, exp_Y,
+    args = (policy, env, env.default_params(), norm, opts, exp_X, exp_Y)
+    kwargs = dict(
         num_envs=2, episode_steps=6, history=1,
         dynamics_updates=1, cost_updates=1,
         batch_size=4, gamma=0.9, polyak_factor=0.9,
         expert_history_X_test=exp_X[:4], expert_future_Y_test=exp_Y[:4],
     )
-    p0 = params
-    params, opt_states, replay, m = epoch(
-        params, opt_states, replay, KEY, jnp.asarray(True)
+    epoch = make_fused_l2_epoch(*args, **kwargs)
+    return dict(
+        make=make_fused_l2_epoch, args=args, kwargs=kwargs, epoch=epoch,
+        params=params, opt_states=opt_states, replay0=replay,
+    )
+
+
+def test_fused_l2_epoch_runs_and_learns():
+    s = _l2_setup()
+    p0 = s["params"]
+    params, opt_states, replay, m = s["epoch"](
+        p0, s["opt_states"], s["replay0"], KEY, jnp.asarray(True)
     )
     for v in m:
         assert bool(jnp.isfinite(v)), m
@@ -236,3 +245,21 @@ def test_fused_l2_epoch_runs_and_learns():
             lambda a, b: float(jnp.abs(a - b).max()), p0[comp], params[comp]
         )
         assert max(jax.tree_util.tree_leaves(moved)) > 0.0, comp
+
+
+def test_fused_l2_epoch_mesh_matches_single_device():
+    from gan_mpc_tpu.parallel import make_mesh
+
+    s = _l2_setup()
+    sharded = s["make"](*s["args"], **s["kwargs"], mesh=make_mesh(2))
+    call_args = (
+        s["params"], s["opt_states"], s["replay0"], KEY, jnp.asarray(True)
+    )
+    out_s, out_m = s["epoch"](*call_args), sharded(*call_args)
+    for ps, pm in zip(
+        jax.tree_util.tree_leaves(out_s[0]),
+        jax.tree_util.tree_leaves(out_m[0]),
+    ):
+        assert jnp.allclose(ps, pm, atol=5e-5), "params diverged"
+    for name, vs, vm in zip(out_s[3]._fields, out_s[3], out_m[3]):
+        assert jnp.allclose(vs, vm, atol=5e-4, rtol=1e-3), (name, vs, vm)
