@@ -21,7 +21,7 @@ from gan_mpc_tpu.data.trajectories import TrajectorySet
 # Bump an env's entry whenever its scripted expert's BEHAVIOR changes —
 # collection_fingerprint folds this in so cached trajectory stores
 # labeled by an older expert are re-collected, not silently reused.
-EXPERT_VERSION = {"pendulum_swingup": 2, "humanoid_walk": 2}
+EXPERT_VERSION = {"pendulum_swingup": 2, "humanoid_walk": 3}
 
 
 def scripted_expert(env):
@@ -90,12 +90,21 @@ def scripted_expert(env):
 
         return policy
 
-    if env.name in ("humanoid_stand", "humanoid_walk"):
+    if env.name == "humanoid_stand":
         gains = jnp.asarray(_HUMANOID_STAND_GAINS)
 
         def policy(params, history_x, history_u):
             del params, history_u
             return humanoid_balance_policy(gains, history_x[-1], env)
+
+        return policy
+
+    if env.name == "humanoid_walk":
+        w = jnp.asarray(_HUMANOID_WALK_PHASE)
+
+        def policy(params, history_x, history_u):
+            del params, history_u
+            return humanoid_walk_phase_action(w, history_x[-1], env)
 
         return policy
 
@@ -216,6 +225,69 @@ def humanoid_walk_action(obs: jax.Array, t: jax.Array, dt: float, env=None):
     return jnp.clip(u, -1.0, 1.0)
 
 
+# STATE-INDEXED walking expert (expert v3): the same PD-tracked kinematic
+# cycle, but the gait phase is estimated FROM THE OBSERVATION by matching
+# the full 12-joint pose (and velocity) against the cycle — never from
+# wall-clock time. Why this matters: a time-indexed expert's action is
+# not a function of state, so behavior cloning of it is ill-posed
+# (measured: closed-loop BC 23.6/1000 vs the expert's 667.5) and DAgger
+# cannot query it from arbitrary restart states. This expert is
+# memoryless — BC is well-posed and DAgger restarts work — and scores
+# HIGHER than the time-indexed gait (tuned by warm-started CEM,
+# scripts/tune_walk_phase.py --match).
+# w = [freq, lean, bal, A_hip, A_knee, ph_knee, A_ank, ph_ank, A_arm,
+#      kp_leg, kd_leg, k_v, v_ref, delta (phase lead), lam (vel weight)]
+_HUMANOID_WALK_PHASE = (
+    1.9790, 0.8104, 0.5662, -0.1909, -0.7046, 1.3727, -0.3198, -0.2791,
+    1.1607, 2.4502, 0.0245, -0.1714, 0.7430, 0.3880, 0.0010,
+)
+_PHASE_GRID = np.linspace(-np.pi, np.pi, 64, endpoint=False)
+
+
+def walk_phase_from_pose(w, q_joints, qd_joints):
+    """Grid argmin over phase of ||qt(ph) - q||^2 + lam ||omega qt'(ph)
+    - qd||^2 — on the walking limit cycle the pose determines the phase
+    almost everywhere, and the velocity term breaks mirror-crossing
+    ties. At standstill every phase ties and argmin's first-index rule
+    plus the phase lead delta kicks off the first step."""
+    w = jnp.asarray(w)
+    lam = jnp.abs(w[14])
+    omega = 2.0 * jnp.pi * w[0]
+    grid = jnp.asarray(_PHASE_GRID, q_joints.dtype)
+    qts = jax.vmap(lambda p: _walk_pd_targets(w, p))(grid)
+    qdts = (
+        jax.vmap(jax.jacfwd(lambda p: _walk_pd_targets(w, p)))(grid) * omega
+    )
+    err = jnp.sum((qts - q_joints) ** 2, axis=-1) + lam * jnp.sum(
+        (qdts - qd_joints) ** 2, axis=-1
+    )
+    return grid[jnp.argmin(err)]
+
+
+def humanoid_walk_phase_action(w, obs: jax.Array, env=None) -> jax.Array:
+    """Memoryless walking expert: PD-track the gait cycle at the
+    pose-matched phase (+ lead), over the stand-balance blend with a
+    speed-servoed forward lean — same structure as the time-indexed
+    ``humanoid_walk_action`` with the clock replaced by state."""
+    w = jnp.asarray(w)
+    lean, bal = w[1], w[2]
+    kp, kd = jnp.abs(w[9]), jnp.abs(w[10])
+    k_v, v_ref, delta = w[11], w[12], w[13]
+    q = jnp.concatenate([jnp.zeros(1, obs.dtype), obs[:14]])
+    qd = obs[14:]
+    vx = qd[0]
+    joints, jointsd = obs[2:14], obs[17:29]
+    ph = walk_phase_from_pose(w, joints, jointsd) + delta
+    qt = _walk_pd_targets(w, ph)
+    qidx = jnp.asarray(_WALK_QIDX)
+    u_pd = kp * (qt - q[qidx]) - kd * qd[qidx]
+    u = bal * humanoid_balance_policy(
+        jnp.asarray(_HUMANOID_STAND_GAINS), obs, env
+    ) + u_pd
+    u = u.at[0].add(-(lean + k_v * (v_ref - vx)))
+    return jnp.clip(u, -1.0, 1.0)
+
+
 # Open-loop CPG gait for cheetah_run, found by on-device evolution search
 # over the differentiable planar engine (mean forward speed ~2.4 m/s).
 # u_i(t) = tanh(amp_i sin(2 pi f t dt + phase_i) + offset_i).
@@ -310,18 +382,10 @@ def collect_expert_trajectories(
             num_steps,
             noise_sigma=noise_sigma,
         )
-    if env.name == "humanoid_walk":
-        return _collect_open_loop(
-            env,
-            env_params,
-            num_trajectories,
-            key,
-            num_steps,
-            noise_sigma=noise_sigma,
-            action_fn=lambda obs, t: humanoid_walk_action(
-                obs, t, env.dt, env
-            ),
-        )
+    # (humanoid_walk routed through _collect_open_loop when its expert
+    # was time-indexed — expert v3 is state-indexed and takes the
+    # closed-loop path below, which is also what makes DAgger restarts
+    # possible for it)
     policy = scripted_expert(env)
 
     def one(k):

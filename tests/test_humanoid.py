@@ -85,6 +85,26 @@ def test_scripted_stand_expert_balances():
     assert float(env._head_height(s.qpos)) > 1.2
 
 
+def test_scripted_walk_expert_walks():
+    """The state-indexed walk expert (expert v3: phase from pose
+    matching, runners/collect.py) must actually walk — it feeds
+    humanoid_walk imitation AND its DAgger corrective labels."""
+    env = make_env("humanoid_walk")
+    p = env.default_params()
+    pol = scripted_expert(env)
+
+    def body(s, _):
+        obs = env.observe(p, s)
+        s, r = env.step(p, s, pol(None, obs[None], None))
+        return s, r
+
+    s0 = env.reset(p, KEY)
+    s, rs = jax.lax.scan(body, s0, None, length=400)
+    assert bool(jnp.all(jnp.isfinite(s.qpos)))
+    assert float(jnp.mean(rs)) > 0.4  # walk reward flowing, not fallen
+    assert float(s.qpos[0]) > 1.0  # real forward displacement
+
+
 def test_humanoid_renderer():
     from gan_mpc_tpu.utils.video import render_episode
 
