@@ -59,12 +59,27 @@ def setup(config: Config, with_critic: bool = False):
 
     # Optional warm start from a SAVED run's final params (continuation
     # training: e.g. extra DAgger rounds on an already-trained imitator).
-    # The saved pytree must match the current config's architecture.
+    # The saved pytree must match the current config's architecture,
+    # except that the continuation may ADD trailing mpc weights (e.g.
+    # turning on the action-goal term for a run trained without it) —
+    # the saved prefix is spliced in and the new tail keeps its init.
     init_run = config.get_path("mpc.train.init_from_run")
     if init_run:
-        params = io.load_params(
-            params, os.path.join(init_run, "params.msgpack")
-        )
+        from flax import serialization
+
+        with open(os.path.join(init_run, "params.msgpack"), "rb") as fp:
+            raw = serialization.msgpack_restore(fp.read())
+        saved_w = jnp.asarray(raw["mpc_weights"])
+        tw = params["mpc_weights"]
+        if saved_w.shape != tw.shape:
+            if saved_w.shape[0] > tw.shape[0]:
+                raise ValueError(
+                    f"init_from_run has {saved_w.shape[0]} mpc weights, "
+                    f"current config only {tw.shape[0]} — cannot drop "
+                    f"trained weights"
+                )
+            raw["mpc_weights"] = tw.at[: saved_w.shape[0]].set(saved_w)
+        params = serialization.from_state_dict(params, raw)
 
     states = normalizer.normalize_state(jnp.asarray(trajs.states))
     key, k1, k2 = jax.random.split(key, 3)
