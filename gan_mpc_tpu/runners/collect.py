@@ -21,7 +21,11 @@ from gan_mpc_tpu.data.trajectories import TrajectorySet
 # Bump an env's entry whenever its scripted expert's BEHAVIOR changes —
 # collection_fingerprint folds this in so cached trajectory stores
 # labeled by an older expert are re-collected, not silently reused.
-EXPERT_VERSION = {"pendulum_swingup": 2, "humanoid_walk": 3}
+EXPERT_VERSION = {
+    "pendulum_swingup": 2,
+    "humanoid_walk": 3,
+    "walker_walk": 2,  # v2: balance-only policy -> phase-PD walking gait
+}
 
 
 def scripted_expert(env):
@@ -75,18 +79,11 @@ def scripted_expert(env):
         return policy
 
     if env.name == "walker_walk":
+        w = jnp.asarray(_WALKER_WALK_PHASE)
 
         def policy(params, history_x, history_u):
             del params, history_u
-            obs = history_x[-1]
-            pitch, pitchd, xd = obs[1], obs[10], obs[9]
-            joints, jointsd = obs[2:8], obs[11:17]
-            u = -3.0 * joints - 0.3 * jointsd
-            hip = 4.0 * pitch + 0.8 * pitchd
-            u = u.at[0].add(hip).at[3].add(hip)
-            ankle = -4.0 * (pitch + 0.3 * pitchd + 0.1 * xd)
-            u = u.at[2].add(ankle).at[5].add(ankle)
-            return jnp.clip(u, -1.0, 1.0)
+            return walker_walk_phase_action(w, history_x[-1])
 
         return policy
 
@@ -285,6 +282,59 @@ def humanoid_walk_phase_action(w, obs: jax.Array, env=None) -> jax.Array:
         jnp.asarray(_HUMANOID_STAND_GAINS), obs, env
     ) + u_pd
     u = u.at[0].add(-(lean + k_v * (v_ref - vx)))
+    return jnp.clip(u, -1.0, 1.0)
+
+
+# STATE-INDEXED walker_walk expert: the same memoryless phase-PD gait
+# design as the humanoid's expert v3 — antiphase hip sin, rectified
+# swing-knee flexion, ankle push-off, torso-pitch balance + speed servo
+# through the hips — with the gait phase estimated by FULL-POSE MATCHING
+# against the kinematic cycle (the expert-v3 estimator; the hip-pair
+# atan2 variant plateaued at 583 where this reaches 872.9/1000 — CEM
+# over the differentiable engine, scripts/tune_walker_walk.py --match).
+# w = [freq, A_hip, A_knee, ph_knee, A_ank, ph_ank, kp, kd, k_pitch,
+#      k_pitchd, k_v, v_ref, delta, lam]
+_WALKER_WALK_PHASE = (
+    -0.0552, 0.6620, -0.7798, -0.0775, 0.5858, -1.1868, 2.9690, -0.0028,
+    5.0975, 0.2397, 0.2843, 1.4972, 1.9741, -0.0349,
+)
+
+
+def _walker_targets(w, ph):
+    A_h, A_k, ph_k, A_a, ph_a = w[1], w[2], w[3], w[4], w[5]
+    s_l, s_r = jnp.sin(ph), jnp.sin(ph + jnp.pi)
+    knee_l = -A_k * jnp.maximum(jnp.sin(ph + ph_k), 0.0)
+    knee_r = -A_k * jnp.maximum(jnp.sin(ph + jnp.pi + ph_k), 0.0)
+    ank_l = A_a * jnp.sin(ph + ph_a)
+    ank_r = A_a * jnp.sin(ph + jnp.pi + ph_a)
+    return jnp.stack([A_h * s_l, knee_l, ank_l, A_h * s_r, knee_r, ank_r])
+
+
+def walker_walk_phase_action(w, obs: jax.Array) -> jax.Array:
+    """Memoryless walker gait (see scripts/tune_walker_walk.py). obs =
+    [z, pitch, 6 joints, xd, zd, pitchd, 6 jointds] (envs/walker.py)."""
+    w = jnp.asarray(w)
+    kp, kd = jnp.abs(w[6]), jnp.abs(w[7])
+    k_p, k_pd, k_v, v_ref, delta = w[8], w[9], w[10], w[11], w[12]
+    lam = jnp.abs(w[13])
+    pitch = obs[1]
+    joints = obs[2:8]  # lhip lknee lank rhip rknee rank
+    vx, pitchd = obs[8], obs[10]
+    jointsd = obs[11:17]
+    omega = 2.0 * jnp.pi * w[0]
+    grid = jnp.asarray(_PHASE_GRID, obs.dtype)
+    qts = jax.vmap(lambda p: _walker_targets(w, p))(grid)
+    qdts = (
+        jax.vmap(jax.jacfwd(lambda p: _walker_targets(w, p)))(grid) * omega
+    )
+    err = jnp.sum((qts - joints) ** 2, axis=-1) + lam * jnp.sum(
+        (qdts - jointsd) ** 2, axis=-1
+    )
+    ph = grid[jnp.argmin(err)] + delta
+    qt = _walker_targets(w, ph)
+    u = kp * (qt - joints) - kd * jointsd
+    hip = k_p * pitch + k_pd * pitchd - k_v * (v_ref - vx)
+    u = u.at[0].add(hip).at[3].add(hip)
     return jnp.clip(u, -1.0, 1.0)
 
 

@@ -50,8 +50,23 @@ W0 = jnp.array(
 )
 
 
+_PHASE_GRID = jnp.linspace(-jnp.pi, jnp.pi, 64, endpoint=False)
+
+
+def _targets(w, ph):
+    A_h, A_k, ph_k, A_a, ph_a = w[1], w[2], w[3], w[4], w[5]
+    s_l, s_r = jnp.sin(ph), jnp.sin(ph + jnp.pi)
+    knee_l = -A_k * jnp.maximum(jnp.sin(ph + ph_k), 0.0)
+    knee_r = -A_k * jnp.maximum(jnp.sin(ph + jnp.pi + ph_k), 0.0)
+    ank_l = A_a * jnp.sin(ph + ph_a)
+    ank_r = A_a * jnp.sin(ph + jnp.pi + ph_a)
+    return jnp.stack([A_h * s_l, knee_l, ank_l, A_h * s_r, knee_r, ank_r])
+
+
 def walk_action(w, obs):
-    freq, A_h, A_k, ph_k, A_a, ph_a = w[0], w[1], w[2], w[3], w[4], w[5]
+    """w = 13 gait params (atan2 phase) or 14 (+lam: pose-matched phase,
+    the humanoid expert-v3 estimator — --match mode)."""
+    freq, A_h = w[0], w[1]
     kp, kd = jnp.abs(w[6]), jnp.abs(w[7])
     k_p, k_pd, k_v, v_ref, delta = w[8], w[9], w[10], w[11], w[12]
     pitch = obs[1]
@@ -59,15 +74,22 @@ def walk_action(w, obs):
     vx, pitchd = obs[8], obs[10]
     jointsd = obs[11:17]
     omega = 2.0 * jnp.pi * freq
-    d = 0.5 * (joints[0] - joints[3])
-    dd = 0.5 * (jointsd[0] - jointsd[3])
-    ph = jnp.arctan2(d / A_h, dd / (A_h * omega)) + delta
-    s_l, s_r = jnp.sin(ph), jnp.sin(ph + jnp.pi)
-    knee_l = -A_k * jnp.maximum(jnp.sin(ph + ph_k), 0.0)
-    knee_r = -A_k * jnp.maximum(jnp.sin(ph + jnp.pi + ph_k), 0.0)
-    ank_l = A_a * jnp.sin(ph + ph_a)
-    ank_r = A_a * jnp.sin(ph + jnp.pi + ph_a)
-    qt = jnp.stack([A_h * s_l, knee_l, ank_l, A_h * s_r, knee_r, ank_r])
+    if w.shape[0] >= 14:
+        lam = jnp.abs(w[13])
+        qts = jax.vmap(lambda p: _targets(w, p))(_PHASE_GRID)
+        qdts = (
+            jax.vmap(jax.jacfwd(lambda p: _targets(w, p)))(_PHASE_GRID)
+            * omega
+        )
+        err = jnp.sum((qts - joints) ** 2, axis=-1) + lam * jnp.sum(
+            (qdts - jointsd) ** 2, axis=-1
+        )
+        ph = _PHASE_GRID[jnp.argmin(err)] + delta
+    else:
+        d = 0.5 * (joints[0] - joints[3])
+        dd = 0.5 * (jointsd[0] - jointsd[3])
+        ph = jnp.arctan2(d / A_h, dd / (A_h * omega)) + delta
+    qt = _targets(w, ph)
     u = kp * (qt - joints) - kd * jointsd
     # torso balance + speed servo through both hips
     hip = k_p * pitch + k_pd * pitchd - k_v * (v_ref - vx)
@@ -95,9 +117,14 @@ def score(ws, key):
     )(ws)
 
 
+MATCH = "--match" in args
+
+
 def main():
     key = jax.random.PRNGKey(0)
     mu = W_INIT if W_INIT is not None else W0
+    if MATCH and mu.shape[0] == 13:
+        mu = jnp.concatenate([mu, jnp.array([0.002])])
     r = score(mu[None], key)
     print(f"seed w: {float(r[0]):.1f}")
     if not CEM:
@@ -105,6 +132,8 @@ def main():
     sig = jnp.array(
         [0.3, 0.15, 0.25, 0.4, 0.15, 0.4, 1.5, 0.1, 1.0, 0.3, 0.3, 0.4, 0.4]
     )
+    if mu.shape[0] == 14:
+        sig = jnp.concatenate([sig, jnp.array([0.002])])
     pop, elite = 64, 8
     for i in range(CEM):
         key, k1, k2 = jax.random.split(key, 3)
