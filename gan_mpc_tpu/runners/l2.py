@@ -329,17 +329,38 @@ def evaluate(config: Config, ctx, key, num_runs=None) -> float:
     num_runs = ecfg.num_runs_for_avg if num_runs is None else num_runs
     if num_runs <= 0:
         return 0.0
-    ep = policy_rollout(
-        ctx["env_im"],
-        ctx["env_im_params"],
-        ctx["policy"],
-        ctx["params"],
-        ctx["normalizer"],
-        key,
-        num_steps=ecfg.max_interactions,
-        history=config.mpc.history,
-        num_envs=max(num_runs, 1),
-    )
+    # runtime.eval_chunk_steps bounds each eval program (TPU watchdog:
+    # a 1000-step x H=50 plan-per-step program in ONE launch is exactly
+    # the "executes too long" kill documented in BENCHMARKS.md; chunked
+    # rollouts are bit-identical and invariant to the chunk size)
+    chunk = config.get_path("runtime.eval_chunk_steps", 0)
+    if chunk:
+        from gan_mpc_tpu.envs.rollout import chunked_batched_rollout
+
+        ep = chunked_batched_rollout(
+            ctx["env_im"],
+            ctx["env_im_params"],
+            ctx["policy"].act,
+            ctx["params"],
+            ctx["normalizer"],
+            key,
+            num_steps=ecfg.max_interactions,
+            history=config.mpc.history,
+            num_envs=max(num_runs, 1),
+            chunk_steps=int(chunk),
+        )
+    else:
+        ep = policy_rollout(
+            ctx["env_im"],
+            ctx["env_im_params"],
+            ctx["policy"],
+            ctx["params"],
+            ctx["normalizer"],
+            key,
+            num_steps=ecfg.max_interactions,
+            history=config.mpc.history,
+            num_envs=max(num_runs, 1),
+        )
     return float(jnp.mean(jnp.sum(ep.rewards, axis=-1)))
 
 
