@@ -37,6 +37,13 @@ class EnsembleDynamics:
     def zero_carry(self) -> jax.Array:
         return self.member.zero_carry()
 
+    @property
+    def is_batch_native(self) -> bool:
+        # the batch-native time-major solver path expects a single
+        # dynamics net's fused batch ops; the ensemble plans through the
+        # vmapped per-instance path
+        return False
+
     def member_predict(self, xc, u, t, stacked_params):
         """(E, ...) per-member next states."""
         return jax.vmap(
