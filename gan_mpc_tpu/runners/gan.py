@@ -74,6 +74,9 @@ def _run_fused_epochs(
         chunk_updates=config.get_path("runtime.fused_chunk_updates", 0),
         plan_chunk=config.get_path("runtime.fused_plan_chunk", 0),
         collect_noise=dcfg.get_path("collection_noise", 0.0),
+        collect_chunk_steps=config.get_path(
+            "runtime.fused_collect_chunk", 0
+        ),
         mesh=mesh,
     )
     # epoch-1 dynamics warm start on the expert windows, as in the

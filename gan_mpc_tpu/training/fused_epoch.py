@@ -100,6 +100,7 @@ def make_fused_gan_epoch(
     chunk_updates: int = 0,
     plan_chunk: int = 0,
     collect_noise: float = 0.0,
+    collect_chunk_steps: int = 0,
     mesh=None,
     dp_axis: str = "dp",
 ):
@@ -474,6 +475,40 @@ def make_fused_gan_epoch(
     pc = int(plan_chunk) if plan_chunk else critic_plan_batch
 
     seg_collect = jax.jit(_collect)
+    seg_insert = jax.jit(
+        lambda replay, xs, us: replay.add_trajectories(xs, us)
+    )
+
+    def _chunked_collect(params, replay, k_collect):
+        if collect_chunk_steps <= 0:
+            return seg_collect(params, replay, k_collect)
+        # long-episode collection at watchdog scale: whole-episode
+        # seg_collect is ONE program (episode_steps plan-steps — the
+        # documented kill at H=50); chunked_batched_rollout bounds each
+        # program to collect_chunk_steps with per-step semantics intact
+        from gan_mpc_tpu.envs.rollout import chunked_batched_rollout
+
+        episode = chunked_batched_rollout(
+            env,
+            env_params,
+            policy.act,
+            params,
+            normalizer,
+            k_collect,
+            num_steps=episode_steps,
+            history=history,
+            num_envs=num_envs,
+            chunk_steps=int(collect_chunk_steps),
+            action_noise=collect_noise,
+        )
+        ep_return = jnp.mean(jnp.sum(episode.rewards, axis=-1))
+        replay = seg_insert(
+            replay,
+            normalizer.normalize_state(episode.states),
+            normalizer.normalize_action(episode.actions),
+        )
+        return replay, ep_return
+
     seg_fakes = jax.jit(_make_fakes)
     seg_polyak = jax.jit(lambda a, b: polyak_blend(a, b, polyak_factor))
     seg_gen = jax.jit(_gen_scan)
@@ -518,7 +553,7 @@ def make_fused_gan_epoch(
             k_shuffle,
         ) = jax.random.split(key, 6)
 
-        replay, ep_return = seg_collect(params, replay, k_collect)
+        replay, ep_return = _chunked_collect(params, replay, k_collect)
 
         dyn_perm = jax.random.randint(
             k_dyn,
@@ -653,6 +688,7 @@ def make_fused_l2_epoch(
     chunk_updates: int = 0,
     plan_chunk: int = 0,
     collect_noise: float = 0.0,
+    collect_chunk_steps: int = 0,
     mesh=None,
     dp_axis: str = "dp",
 ):
@@ -898,6 +934,37 @@ def make_fused_l2_epoch(
     pc = int(plan_chunk) if plan_chunk else test_plan_batch
 
     seg_collect = jax.jit(_collect)
+    seg_insert = jax.jit(
+        lambda replay, xs, us: replay.add_trajectories(xs, us)
+    )
+
+    def _chunked_collect(params, replay, k_collect):
+        # see the GAN chunked section: bounded-program long collection
+        if collect_chunk_steps <= 0:
+            return seg_collect(params, replay, k_collect)
+        from gan_mpc_tpu.envs.rollout import chunked_batched_rollout
+
+        episode = chunked_batched_rollout(
+            env,
+            env_params,
+            policy.act,
+            params,
+            normalizer,
+            k_collect,
+            num_steps=episode_steps,
+            history=history,
+            num_envs=num_envs,
+            chunk_steps=int(collect_chunk_steps),
+            action_noise=collect_noise,
+        )
+        ep_return = jnp.mean(jnp.sum(episode.rewards, axis=-1))
+        replay = seg_insert(
+            replay,
+            normalizer.normalize_state(episode.states),
+            normalizer.normalize_action(episode.actions),
+        )
+        return replay, ep_return
+
     seg_cost = jax.jit(_cost_scan)
     seg_polyak = jax.jit(lambda a, b: polyak_blend(a, b, polyak_factor))
     if have_test:
@@ -924,7 +991,7 @@ def make_fused_l2_epoch(
     ):
         k_collect, k_dyn, k_cost = jax.random.split(key, 3)
 
-        replay, ep_return = seg_collect(params, replay, k_collect)
+        replay, ep_return = _chunked_collect(params, replay, k_collect)
 
         dyn_perm = jax.random.randint(
             k_dyn,

@@ -144,6 +144,24 @@ def test_fused_gan_epoch_chunked_matches_single_program(gan_setup):
         assert jnp.allclose(vs, vc, atol=2e-5), (name, vs, vc)
 
 
+def test_fused_gan_epoch_chunked_collection_runs(gan_setup):
+    """collect_chunk_steps bounds the collection program for watchdog
+    scale (humanoid H=50 long episodes). Different PRNG layout than the
+    in-program collection (chunked_batched_rollout), so this asserts
+    health, not equality."""
+    chunked = make_fused_gan_epoch(
+        gan_setup["policy"], *gan_setup["args"], **gan_setup["kwargs"],
+        chunk_updates=2, plan_chunk=3, collect_chunk_steps=3,
+    )
+    params, opt_states, replay, m = chunked(
+        gan_setup["params"], gan_setup["opt_states"], gan_setup["replay0"],
+        KEY, jnp.asarray(True),
+    )
+    for v in m:
+        assert bool(jnp.isfinite(v)), m
+    assert int(replay.size) > 0
+
+
 def test_fused_gan_epoch_mesh_matches_single_device(gan_setup):
     """The dp-mesh fused epoch (shard_map: sharded collection keys,
     minibatch shards + pmean grads, all_gather'd planning fan-outs) must
