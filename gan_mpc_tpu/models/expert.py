@@ -7,7 +7,12 @@ Capability parity with ``/root/reference/expert/nn.py`` +
     state, ``u`` is tanh-squashed;
   * the teacher-forcing switch lives INSIDE the cell (``jnp.where(tf, x,
     x_prev)``) so open/closed-loop unrolls are the same compiled program;
-  * MLP and LSTM cell variants;
+  * MLP and LSTM cell variants. Cell-inventory mapping to the reference:
+    ``_MLPCell`` = ``StackedMLPCell`` (``expert/nn.py:22-40`` — shared
+    relu trunk + two deep heads; that IS the reference's "mlp" arch,
+    scanned by ``ScanMLP``), ``_PredictionHeads`` = its plain ``MLPCell``
+    head submodule (``expert/nn.py:10-19``), ``_LSTMCell`` = ``LSTMCell``
+    (``expert/nn.py:43-61``) — all three reference cells are covered;
   * plan-time services: warm a carry from the observed state history, then
     autoregressively generate the goal state sequence and warm-start action
     sequence for the MPC planner (``expert_model.py:60-91``).
