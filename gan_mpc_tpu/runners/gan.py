@@ -493,6 +493,7 @@ def run(config: Config, log_fn=print):
     params = l2_runner.calibrate_gain(config, ctx, k_cal, log_fn)
     key, k_eval = jax.random.split(key)
     avg_reward = l2_runner.evaluate(config, ctx, k_eval)
+    fresh_result = l2_runner.fresh_seed_eval(config, ctx, log_fn)
     dm_result = l2_runner.dm_cross_eval(config, ctx, log_fn)
 
     run_dir = io.new_run_dir(common.imitator_model_dir(config, "gan"))
@@ -507,6 +508,7 @@ def run(config: Config, log_fn=print):
             "seed": config.seed,
             "env": config.env.to_dict(),
             "reward": round(avg_reward, 2),
+            "fresh_eval": fresh_result,
             "dm_control_reward": dm_result,
             "loss": {
                 "dynamics": {"train_loss": _last("dynamics_train_losses")},

@@ -325,10 +325,16 @@ def calibrate_gain(config: Config, ctx, key, log_fn=None):
 
 
 def evaluate(config: Config, ctx, key, num_runs=None) -> float:
+    returns = episode_returns(config, ctx, key, num_runs)
+    return float(jnp.mean(returns)) if returns is not None else 0.0
+
+
+def episode_returns(config: Config, ctx, key, num_runs=None):
+    """Per-episode returns of a batched policy rollout (None if 0 runs)."""
     ecfg = config.mpc.evaluate
     num_runs = ecfg.num_runs_for_avg if num_runs is None else num_runs
     if num_runs <= 0:
-        return 0.0
+        return None
     # runtime.eval_chunk_steps bounds each eval program (TPU watchdog:
     # a 1000-step x H=50 plan-per-step program in ONE launch is exactly
     # the "executes too long" kill documented in BENCHMARKS.md; chunked
@@ -361,7 +367,44 @@ def evaluate(config: Config, ctx, key, num_runs=None) -> float:
             history=config.mpc.history,
             num_envs=max(num_runs, 1),
         )
-    return float(jnp.mean(jnp.sum(ep.rewards, axis=-1)))
+    return jnp.sum(ep.rewards, axis=-1)
+
+
+def fresh_seed_eval(config: Config, ctx, log_fn=None):
+    """Held-out fresh-seed evaluation, stamped next to ``reward`` in
+    every run's config.json.
+
+    The runner-stamped ``reward`` is computed from the run's own PRNG
+    chain, which the honest re-rank (select_best_params) has already
+    consumed — so it is selection-adjacent and overestimates typical
+    behavior (measured round 4: humanoid_walk stamped 715.8 vs fresh
+    re-evals of 509/425). This eval derives its seeds from a fixed
+    constant folded with ``config.seed``, DISJOINT from every key split
+    the run performs, over >= 16 episodes by default
+    (``mpc.evaluate.fresh_eval_episodes``; 0 disables). The reference
+    stamps only the selection-path average
+    (``/root/reference/utils.py:293-306``); this is the number that
+    predicts a user's own re-evaluation.
+    """
+    n = int(config.get_path("mpc.evaluate.fresh_eval_episodes", 16))
+    if n <= 0:
+        return None
+    key = jax.random.fold_in(jax.random.PRNGKey(987654321), int(config.seed))
+    returns = episode_returns(config, ctx, key, num_runs=n)
+    eps = sorted(round(float(r), 2) for r in returns)
+    mean = float(jnp.mean(returns))
+    median = float(jnp.median(returns))
+    if log_fn is not None:
+        log_fn(
+            f"[fresh-eval] held-out {n}-episode eval: mean {mean:.1f}"
+            f" median {median:.1f} (worst {eps[0]:.1f})"
+        )
+    return {
+        "mean": round(mean, 2),
+        "median": round(median, 2),
+        "num_episodes": n,
+        "episodes": eps,
+    }
 
 
 def _run_fused_epochs(
@@ -647,6 +690,7 @@ def run(config: Config, log_fn=print):
     params = calibrate_gain(config, ctx, k_cal, log_fn)
     key, k_eval = jax.random.split(key)
     avg_reward = evaluate(config, ctx, k_eval)
+    fresh_result = fresh_seed_eval(config, ctx, log_fn)
     dm_result = dm_cross_eval(config, ctx, log_fn)
 
     run_dir = io.new_run_dir(common.imitator_model_dir(config, "l2"))
@@ -661,6 +705,7 @@ def run(config: Config, log_fn=print):
             "seed": config.seed,
             "env": config.env.to_dict(),
             "reward": round(avg_reward, 2),
+            "fresh_eval": fresh_result,
             "dm_control_reward": dm_result,
             "loss": {
                 "dynamics": {"train_loss": _last("dynamics_train_losses")},

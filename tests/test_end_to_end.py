@@ -122,9 +122,20 @@ def test_l2_runner_end_to_end(expert_result, tiny_config):
     assert len(h["cost_train_losses"]) == 1
     assert len(h["dynamics_train_losses"]) >= 1
     assert all(map(lambda v: v == v, h["cost_train_losses"]))  # no NaN
+    import json
     import os
 
     assert os.path.exists(os.path.join(out["run_dir"], "params.msgpack"))
+    # the held-out fresh-seed eval is stamped next to `reward` with
+    # seeds disjoint from the run's own key chain (VERDICT r4 item 1)
+    with open(os.path.join(out["run_dir"], "config.json")) as fp:
+        stamp = json.load(fp)
+    fe = stamp["fresh_eval"]
+    assert fe["num_episodes"] == 16 and len(fe["episodes"]) == 16
+    assert fe["mean"] == pytest.approx(
+        sum(fe["episodes"]) / 16, abs=0.1
+    )
+    assert fe["episodes"] == sorted(fe["episodes"])
 
 
 def test_gan_runner_end_to_end(expert_result, tiny_config):
