@@ -77,6 +77,9 @@ def _flagship_setup(env_name, horizon, max_iters):
         max_iterations=max_iters,
         x_size=env.obs_size,
         u_size=env.act_size,
+        riccati=os.environ.get("BENCH_RICCATI", "sequential"),
+        inner_unroll=int(os.environ.get("BENCH_UNROLL", "1")),
+        ls_materialize=os.environ.get("BENCH_LS", "auto"),
     )
     norm = Normalizer.identity(x_size, u_size)
     return (env, env_params, env_name, horizon, max_iters, norm, policy,

@@ -94,16 +94,28 @@ def batch_rollout(problem: BatchProblem, U, x0, unroll=1):
 
 
 def _backward(A, Bm, cx, cu, cxx, cuu, cux, reg, settings):
-    """Batched Riccati recursion (all inputs time-major). reg: (B,)."""
+    """Batched Riccati recursion (all inputs time-major). reg: (B,).
+
+    The open-loop costate recursion (``_adjoint_gradient``) rides in the
+    SAME reverse scan — at long horizons every extra length-T scan is a
+    latency cost (T tiny dependent steps), so the gradient's two small
+    einsums are fused into the Riccati step instead of paying a second
+    T-step loop per solver iteration. Returns (k, K, dv1, dv2, adjoints,
+    G) with G (T, B, m) = exact dJ/dU, identical to the standalone
+    recursion.
+    """
     B = A.shape[1]
     m = Bm.shape[-1]
     eye_m = jnp.eye(m, dtype=A.dtype)
 
     def step(carry, inp):
-        Vx, Vxx, dv1, dv2 = carry
+        Vx, Vxx, dv1, dv2, lam = carry
         At, Bt, cxt, cut, cxxt, cuut, cuxt = inp
         AtT = jnp.swapaxes(At, -1, -2)
         BtT = jnp.swapaxes(Bt, -1, -2)
+        # open-loop costate: g_t = cu_t + B^T lam_{t+1}
+        g = cut + jnp.einsum("bji,bj->bi", Bt, lam)
+        lam_new = cxt + jnp.einsum("bji,bj->bi", At, lam)
         Qx = cxt + jnp.einsum("bji,bj->bi", At, Vx)
         Qu = cut + jnp.einsum("bji,bj->bi", Bt, Vx)
         AV = AtT @ Vxx  # (B,n,n)
@@ -129,18 +141,76 @@ def _backward(A, Bm, cx, cu, cxx, cuu, cux, reg, settings):
         Vxx_new = (Vxx_new + jnp.swapaxes(Vxx_new, -1, -2)) / 2.0
         dv1 = dv1 + jnp.einsum("bi,bi->b", k, Qu)
         dv2 = dv2 + 0.5 * jnp.einsum("bi,bi->b", k, Quu_k)
-        return (Vx_new, Vxx_new, dv1, dv2), (k, K, Vx_new)
+        return (Vx_new, Vxx_new, dv1, dv2, lam_new), (k, K, Vx_new, g)
 
     zero = jnp.zeros(B, A.dtype)
-    (_, _, dv1, dv2), (k, K, Vxs) = jax.lax.scan(
+    (_, _, dv1, dv2, _), (k, K, Vxs, G) = jax.lax.scan(
         step,
-        (cx[-1], cxx[-1], zero, zero),
+        (cx[-1], cxx[-1], zero, zero, cx[-1]),
         (A, Bm, cx[:-1], cu, cxx[:-1], cuu, cux),
         reverse=True,
         unroll=settings.inner_unroll,
     )
     adjoints = jnp.concatenate([Vxs, cx[-1:]], axis=0)
-    return k, K, dv1, dv2, adjoints
+    return k, K, dv1, dv2, adjoints, G
+
+
+def _backward_associative(A, Bm, cx, cu, cxx, cuu, cux, reg, settings):
+    """O(log T)-depth backward pass for the batch solver.
+
+    Wraps ``parallel_riccati.parallel_backward_pass`` (the Särkkä &
+    García-Fernández temporal-parallelization construction, already
+    verified against the sequential recursion) with ``jax.vmap`` over the
+    lane axis — vmap of an ``associative_scan`` IS the batched
+    associative scan, so all lanes advance through the same log-depth
+    combine tree. The open-loop gradient comes from an associative
+    composition of the affine costate maps lam_t = A^T lam_{t+1} + cx_t
+    (one more log-depth scan instead of a length-T sequential loop).
+    Same return contract as ``_backward``.
+    """
+    from gan_mpc_tpu.planner.parallel_riccati import parallel_backward_pass
+
+    T = A.shape[0]
+    # parallel_backward_pass wants cu/cuu/cux with a (ignored) terminal
+    # row: pad with zeros.
+    pad = lambda a: jnp.concatenate([a, jnp.zeros_like(a[:1])], axis=0)
+
+    def one_lane(A_l, B_l, cx_l, cu_l, cxx_l, cuu_l, cux_l, reg_l):
+        k, K, _, dv1, dv2, adjoints = parallel_backward_pass(
+            A_l, B_l, cx_l, pad(cu_l), cxx_l, pad(cuu_l), pad(cux_l),
+            reg_l, settings.psd_delta,
+        )
+        return k, K, dv1, dv2, adjoints
+
+    k, K, dv1, dv2, adjoints = jax.vmap(
+        one_lane,
+        in_axes=(1, 1, 1, 1, 1, 1, 1, 0),
+        out_axes=(1, 1, 0, 0, 1),
+    )(A, Bm, cx, cu, cxx, cuu, cux, reg)
+
+    # Associative costate: suffix products of f_t(lam) = A_t^T lam + cx_t
+    # applied to lam_T = cx_T give lam_t; g_t = cu_t + B_t^T lam_{t+1}.
+    M = jnp.swapaxes(A, -1, -2)  # (T, B, n, n)
+    v = cx[:-1]
+
+    def combine(later, earlier):
+        # suffix scan on the time-reversed array: ``later`` is the
+        # already-combined segment closer to T
+        M2, v2 = later
+        M1, v1 = earlier
+        return (M1 @ M2, jnp.einsum("...ij,...j->...i", M1, v2) + v1)
+
+    Mr, vr = jax.lax.associative_scan(
+        combine, (M[::-1], v[::-1]), axis=0
+    )
+    suffix_M, suffix_v = Mr[::-1], vr[::-1]
+    # lam_t for t in [0, T): apply segment [t, T) to lam_T
+    lam = (
+        jnp.einsum("tbij,bj->tbi", suffix_M, cx[-1]) + suffix_v
+    )  # (T, B, n) = lam_0..lam_{T-1}
+    lam_next = jnp.concatenate([lam[1:], cx[-1:]], axis=0)  # lam_1..lam_T
+    G = cu + jnp.einsum("tbji,tbj->tbi", Bm, lam_next)
+    return k, K, dv1, dv2, adjoints, G
 
 
 def _adjoint_gradient(A, Bm, cx, cu, unroll=1):
@@ -159,11 +229,22 @@ def _adjoint_gradient(A, Bm, cx, cu, unroll=1):
     return G
 
 
-def _line_search_objs(problem, X, U, k, K, alphas, unroll=1):
+def _line_search_objs(problem, X, U, k, K, alphas, unroll=1,
+                      materialize=False):
     """Objective of every (lane, alpha) closed-loop rollout: (B, A).
 
-    Only the running objective is carried — no candidate trajectories are
-    materialized; the winner is recomputed once afterwards.
+    ``materialize=False``: only the running objective is carried — no
+    candidate trajectories are materialized; the winner is recomputed
+    once afterwards (``_forward_best``). Right when B*A*T*(n+m) is large
+    (the cheetah-class 512-env regime) — HBM traffic would exceed the
+    recompute scan.
+
+    ``materialize=True``: the candidate states/actions are emitted as
+    scan outputs ((T, B, A, n), (T, B, A, m)) so the winner is a cheap
+    gather and the recompute scan is ELIDED entirely. Right at long
+    horizons where every extra length-T scan is a latency cost and the
+    candidate block is small (humanoid-class H=50: ~12 MB). Returns
+    (objs, (Xc, Uc)) in that mode.
     """
     B = X.shape[1]
     A_ = alphas.shape[0]
@@ -176,15 +257,17 @@ def _line_search_objs(problem, X, U, k, K, alphas, unroll=1):
         u = Uref[:, None] + alphas[None, :, None] * kt[:, None] + du
         acc = acc + problem.stage_cost(x, u, t)
         nx = problem.dynamics_step(x, u, t)
-        return (nx, acc), None
+        out = (nx, u) if materialize else None
+        return (nx, acc), out
 
-    (xT, acc), _ = jax.lax.scan(
+    (xT, acc), out = jax.lax.scan(
         step,
         (x0, jnp.zeros((B, A_), X.dtype)),
         (X[:-1], U, k, K, jnp.arange(U.shape[0])),
         unroll=unroll,
     )
-    return acc + problem.terminal_cost(xT)
+    objs = acc + problem.terminal_cost(xT)
+    return (objs, out) if materialize else objs
 
 
 def _forward_best(problem, X, U, k, K, alpha_b, unroll=1):
@@ -238,6 +321,15 @@ def batch_ilqr(
         ** jnp.arange(settings.num_alphas, dtype=jnp.float32)
     )
     unroll = settings.inner_unroll
+    # Static line-search strategy (shapes are static under jit): elide
+    # the winner-recompute scan when the full candidate block is cheap
+    # to materialize relative to one more length-T latency-bound scan.
+    cand_bytes = 4 * T * B * settings.num_alphas * (n + m)
+    mat = settings.ls_materialize == "materialize" or (
+        settings.ls_materialize == "auto"
+        and T >= 16
+        and cand_bytes <= 32 * 1024 * 1024
+    )
 
     X0, obj0 = batch_rollout(problem, U0, x0, unroll=unroll)
     state0 = dict(
@@ -261,24 +353,50 @@ def batch_ilqr(
         X, U, obj, reg = s["X"], s["U"], s["obj"], s["reg"]
         A, Bm = problem.dynamics_jac(X[:-1], U)
         cx, cu, cxx, cuu, cux = problem.quad(X, U)
-        grad = _adjoint_gradient(A, Bm, cx, cu, unroll=unroll)
+        # gradient + gains come out of ONE reverse scan (see _backward);
+        # settings.riccati selects the O(log T)-depth associative pass
+        # for long horizons
+        backward = (
+            _backward_associative
+            if settings.riccati == "associative"
+            else _backward
+        )
+        k, K, dv1, dv2, adjoints, grad = backward(
+            A, Bm, cx, cu, cxx, cuu, cux, reg, settings
+        )
         gnorm = jnp.sqrt(jnp.sum(grad * grad, axis=(0, 2)))
         grad_small = gnorm < settings.grad_norm_tol
 
-        k, K, dv1, dv2, adjoints = _backward(
-            A, Bm, cx, cu, cxx, cuu, cux, reg, settings
+        ls = _line_search_objs(
+            problem, X, U, k, K, alphas, unroll, materialize=mat
         )
-        objs = _line_search_objs(problem, X, U, k, K, alphas, unroll)
+        objs, cand = ls if mat else (ls, None)
         objs = jnp.where(jnp.isfinite(objs), objs, jnp.inf)
         best = jnp.argmin(objs, axis=1)  # (B,)
         best_obj = jnp.take_along_axis(objs, best[:, None], axis=1)[:, 0]
         improved = best_obj < obj
-        # Recompute only the winning rollout, at each lane's own alpha
-        # (losing lanes get alpha 0 == reference trajectory, masked out
-        # below anyway, so the recompute stays exact for them too).
         take = s["active"] & ~grad_small & improved
-        alpha_b = jnp.where(take, alphas[best], 0.0)
-        Xb, Ub, _ = _forward_best(problem, X, U, k, K, alpha_b, unroll)
+        if mat:
+            # winner = gather over the alpha axis; states get X[0] back
+            # on front (the scan emits x_1..x_T)
+            Xc, Uc = cand
+            sel = best[None, :, None, None]
+            Xb_tail = jnp.take_along_axis(
+                Xc, jnp.broadcast_to(sel, Xc.shape[:2] + (1, n)), axis=2
+            )[:, :, 0]
+            Ub = jnp.take_along_axis(
+                Uc, jnp.broadcast_to(sel, Uc.shape[:2] + (1, m)), axis=2
+            )[:, :, 0]
+            Xb = jnp.concatenate([X[:1], Xb_tail], axis=0)
+        else:
+            # Recompute only the winning rollout, at each lane's own
+            # alpha (losing lanes get alpha 0 == reference trajectory,
+            # masked out below anyway, so the recompute stays exact for
+            # them too).
+            alpha_b = jnp.where(take, alphas[best], 0.0)
+            Xb, Ub, _ = _forward_best(
+                problem, X, U, k, K, alpha_b, unroll
+            )
 
         mask_tb = take[None, :, None]
         Xn = jnp.where(mask_tb, Xb, X)

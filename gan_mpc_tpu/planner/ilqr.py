@@ -66,6 +66,13 @@ class SolverSettings:
     # removes loop overhead and lets XLA overlap timesteps; keep 1 for
     # long horizons to bound compile time.
     inner_unroll: int = 1
+    # Line-search winner strategy for the batch solver: "recompute" rolls
+    # the winning trajectory once more (no candidate materialization —
+    # right for huge B*A blocks), "materialize" emits all candidates from
+    # the line-search scan and gathers the winner (elides one length-T
+    # scan per iteration — right for long horizons), "auto" picks
+    # materialize when T >= 16 and the candidate block is < 32 MB.
+    ls_materialize: str = "auto"
 
 
 class ILQRSolution(struct.PyTreeNode):

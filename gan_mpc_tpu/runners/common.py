@@ -131,6 +131,7 @@ def solver_settings(config: Config) -> SolverSettings:
         grad_norm_tol=mpc.get_path("solver.grad_norm_tol", 1e-4),
         riccati=mpc.get_path("solver.riccati", "sequential"),
         inner_unroll=mpc.get_path("solver.inner_unroll", default_unroll),
+        ls_materialize=mpc.get_path("solver.ls_materialize", "auto"),
     )
 
 

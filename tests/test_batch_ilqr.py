@@ -7,6 +7,7 @@ net, and whole-solve agreement between ``plan_batch`` and vmapped
 ``plan`` on the flagship MPC problem.
 """
 
+import dataclasses
 import importlib
 
 import jax
@@ -93,6 +94,80 @@ def test_batch_ilqr_matches_lqr_oracle():
         np.testing.assert_allclose(
             np.asarray(sol.U[b]), U_star, atol=2e-4
         )
+
+
+def test_batch_ilqr_materialized_line_search_matches_recompute():
+    """The materialized-winner strategy (long-horizon path: candidates
+    emitted from the line-search scan, winner gathered, recompute scan
+    elided) must agree with the recompute strategy on solution controls,
+    objective, and convergence — same math, different schedule."""
+    B, T, n, m = 3, 20, 3, 2
+    problem, A, Bm, Q, R, x0 = _lqr_problem(B, T, n, m, KEY)
+    U0 = jnp.zeros((B, T, m))
+    base = SolverSettings(max_iterations=25, grad_norm_tol=1e-7)
+    sol_r = batch_ilqr(
+        problem, x0, U0,
+        dataclasses.replace(base, ls_materialize="recompute"),
+    )
+    sol_m = batch_ilqr(
+        problem, x0, U0,
+        dataclasses.replace(base, ls_materialize="materialize"),
+    )
+    assert bool(jnp.all(sol_r.converged)) and bool(jnp.all(sol_m.converged))
+    np.testing.assert_allclose(
+        np.asarray(sol_m.U), np.asarray(sol_r.U), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(sol_m.obj), np.asarray(sol_r.obj), rtol=1e-6
+    )
+    # T=20 with a tiny candidate block also triggers the auto heuristic
+    sol_a = batch_ilqr(problem, x0, U0, base)
+    np.testing.assert_allclose(
+        np.asarray(sol_a.U), np.asarray(sol_m.U), atol=1e-6
+    )
+
+
+def test_batch_ilqr_associative_riccati_matches_sequential():
+    """settings.riccati='associative' (log-depth backward + associative
+    costate gradient) must agree with the sequential batch recursion on
+    controls, objective, and per-lane convergence."""
+    B, T, n, m = 3, 24, 3, 2
+    problem, A, Bm, Q, R, x0 = _lqr_problem(B, T, n, m, KEY)
+    U0 = jnp.zeros((B, T, m))
+    base = SolverSettings(max_iterations=25, grad_norm_tol=1e-6)
+    sol_s = batch_ilqr(problem, x0, U0, base)
+    sol_a = batch_ilqr(
+        problem, x0, U0, dataclasses.replace(base, riccati="associative")
+    )
+    assert bool(jnp.all(sol_s.converged)) and bool(jnp.all(sol_a.converged))
+    np.testing.assert_allclose(
+        np.asarray(sol_a.U), np.asarray(sol_s.U), atol=5e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(sol_a.obj), np.asarray(sol_s.obj), rtol=1e-5
+    )
+    # the associative costate gradient agrees with the sequential
+    # recursion on FIXED inputs (solution.grad snapshots are taken at
+    # each variant's own stopping iteration, so they are not comparable)
+    from gan_mpc_tpu.planner import batch_ilqr as bi
+
+    k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(7), 4)
+    Af = jnp.eye(n) + 0.1 * jax.random.normal(k1, (T, B, n, n))
+    Bf = jax.random.normal(k2, (T, B, n, m))
+    cxf = jax.random.normal(k3, (T + 1, B, n))
+    cuf = jax.random.normal(k4, (T, B, m))
+    G_seq = bi._adjoint_gradient(Af, Bf, cxf, cuf)
+    eye = jnp.broadcast_to(jnp.eye(n), (T, B, n, n))
+    cxxf = eye
+    cuuf = jnp.broadcast_to(jnp.eye(m), (T, B, m, m))
+    cuxf = jnp.zeros((T, B, m, n))
+    *_, G_assoc = bi._backward_associative(
+        Af, Bf, cxf, cuf, jnp.concatenate([cxxf, cxxf[:1]]), cuuf, cuxf,
+        jnp.zeros(B), SolverSettings(),
+    )
+    np.testing.assert_allclose(
+        np.asarray(G_assoc), np.asarray(G_seq), rtol=2e-5, atol=2e-5
+    )
 
 
 def test_batch_ilqr_lanes_converge_independently():
