@@ -204,10 +204,17 @@ def collection_fingerprint(config: Config) -> str:
 
     from gan_mpc_tpu.runners.collect import EXPERT_VERSION
 
-    env = make_env(config.env.name)
-    leaves = jax.tree_util.tree_leaves(env.default_params())
-    payload = [config.env.name]
-    payload += [f"{float(v):.9g}" for v in leaves]
+    # Pure host-side bookkeeping: pin the param constants to the CPU
+    # backend so computing a cache fingerprint never round-trips through
+    # the accelerator (measured this round: with the axon tunnel wedged,
+    # the float() sync below blocked the whole runner before training
+    # ever started — a hash must not depend on device health).
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        env = make_env(config.env.name)
+        leaves = jax.tree_util.tree_leaves(env.default_params())
+        payload = [config.env.name]
+        payload += [f"{float(v):.9g}" for v in leaves]
     payload += [
         str(config.get_path("env.expert_episode_steps", 1000)),
         str(config.get_path("env.expert_noise", 0.25)),
