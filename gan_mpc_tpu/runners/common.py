@@ -208,9 +208,18 @@ def collection_fingerprint(config: Config) -> str:
     # backend so computing a cache fingerprint never round-trips through
     # the accelerator (measured this round: with the axon tunnel wedged,
     # the float() sync below blocked the whole runner before training
-    # ever started — a hash must not depend on device health).
-    cpu = jax.local_devices(backend="cpu")[0]
-    with jax.default_device(cpu):
+    # ever started — a hash must not depend on device health). Some
+    # accelerator plugins (axon) register NO cpu backend at all; there
+    # the default device is the only choice and the sync is acceptable —
+    # the run needs a healthy device seconds later anyway.
+    import contextlib
+
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+        device_ctx = jax.default_device(cpu)
+    except RuntimeError:
+        device_ctx = contextlib.nullcontext()
+    with device_ctx:
         env = make_env(config.env.name)
         leaves = jax.tree_util.tree_leaves(env.default_params())
         payload = [config.env.name]
