@@ -105,6 +105,15 @@ def scripted_expert(env):
 
         return policy
 
+    if env.name == "cheetah_run" and _CHEETAH_PD_W is not None:
+        w = jnp.asarray(_CHEETAH_PD_W)
+
+        def policy(params, history_x, history_u):
+            del params, history_u
+            return cheetah_pd_action(w, history_x[-1])
+
+        return policy
+
     raise ValueError(f"no scripted expert for env {env.name!r}")
 
 
@@ -338,6 +347,48 @@ def walker_walk_phase_action(w, obs: jax.Array) -> jax.Array:
     return jnp.clip(u, -1.0, 1.0)
 
 
+# STATE-INDEXED cheetah_run expert (EXPERT_VERSION 2): the same
+# memoryless phase-PD design as the walker/humanoid experts — per-joint
+# sinusoidal joint-angle targets tracked by PD, phase recovered from the
+# observation by full-pose matching, pitch feedback through the thighs,
+# speed servo. CEM-tuned over the differentiable engine by
+# scripts/tune_cheetah_pd.py; set to that run's printed ``w =`` vector.
+# None => the open-loop CPG below remains the cheetah expert (v1).
+_CHEETAH_PD_W = None
+
+_CHEETAH_PHASE_GRID = jnp.linspace(-jnp.pi, jnp.pi, 64, endpoint=False)
+
+
+def _cheetah_targets(w, ph):
+    A, phi, mid = w[1:7], w[7:13], w[13:19]
+    return mid + A * jnp.sin(ph + phi)
+
+
+def cheetah_pd_action(w, obs: jax.Array) -> jax.Array:
+    """Memoryless cheetah gait (see scripts/tune_cheetah_pd.py). obs =
+    [z, pitch, 6 joints, xd, zd, pitchd, 6 jointds] (envs/cheetah.py)."""
+    kp, kd = jnp.abs(w[19]), jnp.abs(w[20])
+    k_p, k_pd, k_v, v_ref = w[21], w[22], w[23], w[24]
+    delta, lam = w[25], jnp.abs(w[26])
+    pitch = obs[1]
+    joints = obs[2:8]
+    vx, pitchd = obs[8], obs[10]
+    jointsd = obs[11:17]
+    omega = 2.0 * jnp.pi * w[0]
+    grid = _CHEETAH_PHASE_GRID
+    qts = jax.vmap(lambda p: _cheetah_targets(w, p))(grid)
+    qdts = jax.vmap(jax.jacfwd(lambda p: _cheetah_targets(w, p)))(grid) * omega
+    err = jnp.sum((qts - joints) ** 2, axis=-1) + lam * jnp.sum(
+        (qdts - jointsd) ** 2, axis=-1
+    )
+    ph = grid[jnp.argmin(err)] + delta
+    qt = _cheetah_targets(w, ph)
+    u = kp * (qt - joints) - kd * jointsd
+    corr = k_p * pitch + k_pd * pitchd - k_v * (v_ref - vx)
+    u = u.at[0].add(corr).at[3].add(corr)
+    return jnp.clip(u, -1.0, 1.0)
+
+
 # Open-loop CPG gait for cheetah_run, found by on-device evolution search
 # over the differentiable planar engine (mean forward speed ~2.4 m/s).
 # u_i(t) = tanh(amp_i sin(2 pi f t dt + phase_i) + offset_i).
@@ -423,7 +474,9 @@ def collect_expert_trajectories(
     837 of the scripted expert's 840).
     """
     env_params = env_params if env_params is not None else env.default_params()
-    if env.name == "cheetah_run":
+    if env.name == "cheetah_run" and _CHEETAH_PD_W is None:
+        # v1 open-loop CPG; the state-indexed v2 PD gait (when tuned)
+        # takes the closed-loop path below like walker/humanoid.
         return _collect_open_loop(
             env,
             env_params,
