@@ -356,7 +356,12 @@ def walker_walk_phase_action(w, obs: jax.Array) -> jax.Array:
 # None => the open-loop CPG below remains the cheetah expert (v1).
 _CHEETAH_PD_W = None
 
-_CHEETAH_PHASE_GRID = jnp.linspace(-jnp.pi, jnp.pi, 64, endpoint=False)
+# numpy, NOT jnp: a module-level jnp call initializes a JAX backend at
+# import time — before runners can apply JAX_PLATFORMS=cpu via
+# runtime_setup.setup() — silently pinning the whole run to the
+# accelerator (measured: a CPU-forced run wedged on the dead axon
+# tunnel exactly this way).
+_CHEETAH_PHASE_GRID = np.linspace(-np.pi, np.pi, 64, endpoint=False)
 
 
 def _cheetah_targets(w, ph):
@@ -375,7 +380,7 @@ def cheetah_pd_action(w, obs: jax.Array) -> jax.Array:
     vx, pitchd = obs[8], obs[10]
     jointsd = obs[11:17]
     omega = 2.0 * jnp.pi * w[0]
-    grid = _CHEETAH_PHASE_GRID
+    grid = jnp.asarray(_CHEETAH_PHASE_GRID, dtype=jnp.float32)
     qts = jax.vmap(lambda p: _cheetah_targets(w, p))(grid)
     qdts = jax.vmap(jax.jacfwd(lambda p: _cheetah_targets(w, p)))(grid) * omega
     err = jnp.sum((qts - joints) ** 2, axis=-1) + lam * jnp.sum(
