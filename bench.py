@@ -80,6 +80,7 @@ def _flagship_setup(env_name, horizon, max_iters):
         riccati=os.environ.get("BENCH_RICCATI", "sequential"),
         inner_unroll=int(os.environ.get("BENCH_UNROLL", "1")),
         ls_materialize=os.environ.get("BENCH_LS", "auto"),
+        compute_dtype=os.environ.get("BENCH_DTYPE", "float32"),
     )
     norm = Normalizer.identity(x_size, u_size)
     return (env, env_params, env_name, horizon, max_iters, norm, policy,

@@ -104,14 +104,19 @@ class LearnedDynamics:
             and self.carry_size == 0
         )
 
-    def batch_apply(self, params, X: jax.Array, U: jax.Array) -> jax.Array:
-        """next_x for (N, n) states / (N, m) actions in one fused call."""
+    def batch_apply(
+        self, params, X: jax.Array, U: jax.Array, compute_dtype=None
+    ) -> jax.Array:
+        """next_x for (N, n) states / (N, m) actions in one fused call.
+        ``compute_dtype`` selects the GEMM dtype (bf16 MXU path)."""
         from gan_mpc_tpu.ops.fused_mlp import dense_stack, mlp_apply
 
         z = jnp.concatenate([X, U], axis=-1)
-        return X + mlp_apply(z, dense_stack(params))
+        return X + mlp_apply(z, dense_stack(params), compute_dtype)
 
-    def batch_value_and_jac(self, params, X: jax.Array, U: jax.Array):
+    def batch_value_and_jac(
+        self, params, X: jax.Array, U: jax.Array, compute_dtype=None
+    ):
         """(next_x (N,n), A (N,n,n), B (N,n,m)): fused forward + exact
         Jacobians of the residual MLP (relu nets are piecewise-linear, so
         the masked weight-product Jacobian is exact a.e.)."""
@@ -119,7 +124,7 @@ class LearnedDynamics:
 
         n = X.shape[-1]
         z = jnp.concatenate([X, U], axis=-1)
-        dx, J = mlp_value_and_jac(z, dense_stack(params))
+        dx, J = mlp_value_and_jac(z, dense_stack(params), compute_dtype)
         A = J[..., :n] + jnp.eye(n, dtype=X.dtype)
         return X + dx, A, J[..., n:]
 

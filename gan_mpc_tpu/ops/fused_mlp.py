@@ -54,10 +54,26 @@ def mlp_params(
     return tuple(params)
 
 
-def _reference_forward(x, params):
+def _mm(a, w, dtype):
+    """GEMM at the requested MXU dtype with f32 accumulation.
+
+    dtype=None keeps plain f32. dtype=bfloat16 casts BOTH operands so the
+    MXU runs at its native bf16 rate; ``preferred_element_type`` keeps the
+    accumulator (and output) f32, so downstream elementwise math and the
+    Riccati recursion never see bf16 rounding beyond the product terms.
+    """
+    if dtype is None:
+        return a @ w
+    return jnp.dot(
+        a.astype(dtype), w.astype(dtype),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _reference_forward(x, params, dtype=None):
     h = x
     for i, (w, b) in enumerate(params):
-        h = h @ w + b
+        h = _mm(h, w, dtype) + b
         if i < len(params) - 1:
             h = jax.nn.relu(h)
     return h
@@ -278,37 +294,69 @@ def dense_stack(flax_params) -> Tuple[Tuple[jax.Array, jax.Array], ...]:
 FUSED_MIN_ROWS = 8192
 
 
-def mlp_apply(x: jax.Array, params) -> jax.Array:
+def mlp_apply(x: jax.Array, params, dtype=None) -> jax.Array:
     """relu-MLP forward on (N, fin) rows; routes to the fused Pallas
-    kernel when the batch is large enough for it to win."""
-    if _on_tpu() and x.shape[0] >= FUSED_MIN_ROWS:
+    kernel when the batch is large enough for it to win. ``dtype``
+    selects the GEMM compute dtype (see ``_mm``); the bf16 path uses the
+    plain-XLA form (the dots run at MXU bf16 rate and XLA fuses the
+    elementwise tail)."""
+    if dtype is None and _on_tpu() and x.shape[0] >= FUSED_MIN_ROWS:
         return fused_mlp(x, params)
-    return _reference_forward(x, params)
+    return _reference_forward(x, params, dtype)
 
 
-def mlp_value_and_jac(x: jax.Array, params):
+def mlp_value_and_jac(x: jax.Array, params, dtype=None):
     """Forward value AND exact input-Jacobian of a relu MLP, batch-major.
 
     x: (N, fin) -> (y (N, fout), J (N, fout, fin)).
 
     The planner's linearization previously pushed fin tangent vectors per
     instance through ``jax.jacfwd`` (per-instance batched matmuls). Here
-    the Jacobian chain is computed as flattened (N*fin, h) @ (h, h')
-    GEMMs with the shared weight — MXU-shaped (M huge, K/N = layer
-    widths) — with the relu masks from the forward pass applied between
-    layers. Exact for relu networks (piecewise-linear, so the product of
-    masked weight matrices IS the Jacobian a.e.).
+    the Jacobian chain is computed as flattened GEMMs with the shared
+    weight — MXU-shaped (M huge, K/N = layer widths) — with the relu
+    masks from the forward pass applied between layers. Exact for relu
+    networks (piecewise-linear, so the product of masked weight matrices
+    IS the Jacobian a.e.).
+
+    The chain runs from whichever side is cheaper: input-side when
+    fin <= fout (tangent blocks (N*fin, h)), output-side when fout < fin
+    (cotangent blocks (N*fout, h) — e.g. the planner's dynamics
+    linearization has fin = n+m > fout = n, so the output-side chain
+    saves a factor fin/fout on every GEMM).
+
+    ``dtype`` selects the GEMM compute dtype (``_mm``): bfloat16 runs the
+    whole chain at MXU bf16 rate with f32 accumulation; masks and the
+    forward bias/relu tail stay f32.
     """
     n_layers = len(params)
     N, fin = x.shape
     h = x
     masks = []
     for i, (w, b) in enumerate(params):
-        h = h @ w + b
+        h = _mm(h, w, dtype) + b
         if i < n_layers - 1:
             mask = (h > 0.0).astype(h.dtype)
             h = h * mask
             masks.append(mask)
+    fout = params[-1][0].shape[1]
+
+    if fout < fin:
+        # output-side (cotangent) chain:
+        #   R_L = W_{L-1};  R_i = W_i diag(m_{i+1}) R_{i+1}
+        # accumulated as flattened (N*fout, h) GEMMs on the transposed
+        # blocks; J_rowvec = R_0 has shape (fin, fout).
+        wl = params[-1][0]  # (h_{L-1}, fout)
+        R = jnp.broadcast_to(wl[None], (N,) + wl.shape)
+        if masks:
+            R = R * masks[-1][..., None]
+        for i in range(n_layers - 2, -1, -1):
+            wi = params[i][0]  # (h_i, h_{i+1}); R (N, h_{i+1}, fout)
+            Rt = jnp.swapaxes(R, 1, 2).reshape(N * fout, -1)
+            R = _mm(Rt, wi.T, dtype).reshape(N, fout, -1)
+            R = jnp.swapaxes(R, 1, 2)  # (N, h_i, fout)
+            if i > 0:
+                R = R * masks[i - 1][..., None]
+        return h, jnp.swapaxes(R, 1, 2)  # (N, fout, fin)
 
     w0 = params[0][0]  # (fin, h1)
     J = jnp.broadcast_to(w0[None], (N,) + w0.shape)
@@ -316,7 +364,7 @@ def mlp_value_and_jac(x: jax.Array, params):
         J = J * masks[0][:, None, :]
     for i in range(1, n_layers):
         wi = params[i][0]  # (h_i, h_{i+1})
-        J = (J.reshape(N * fin, -1) @ wi).reshape(N, fin, -1)
+        J = _mm(J.reshape(N * fin, -1), wi, dtype).reshape(N, fin, -1)
         if i < n_layers - 1:
             J = J * masks[i][:, None, :]
     return h, jnp.swapaxes(J, 1, 2)  # (N, fout, fin)

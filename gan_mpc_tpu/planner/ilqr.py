@@ -73,6 +73,13 @@ class SolverSettings:
     # scan per iteration — right for long horizons), "auto" picks
     # materialize when T >= 16 and the candidate block is < 32 MB.
     ls_materialize: str = "auto"
+    # MXU compute dtype for the batch solver's dynamics-net evaluations
+    # (line-search rollouts + Jacobian-chain GEMMs): "float32" or
+    # "bfloat16". bfloat16 runs the matmuls at full MXU rate with f32
+    # accumulation (preferred_element_type); the Riccati recursion, cost
+    # quadratization, and all solver state stay f32. Long-horizon
+    # measurements: see BENCHMARKS.md round-5 H=50 rows.
+    compute_dtype: str = "float32"
 
 
 class ILQRSolution(struct.PyTreeNode):

@@ -247,18 +247,27 @@ class MPCPolicy:
         theta_d = params["dynamics_params"]
         cost_model, dyn_model = self.cost_model, self.dynamics_model
 
+        # bf16 MXU path for the dynamics-net GEMMs (line-search rollouts
+        # + Jacobian chain) when the solver asks for it; everything the
+        # Riccati recursion consumes stays f32 (accumulation is f32).
+        cdt = (
+            jnp.bfloat16
+            if self.settings.compute_dtype == "bfloat16"
+            else None
+        )
+
         def dynamics_step(X, U, t):
             del t
             B, K, n = X.shape
             nx = dyn_model.batch_apply(
-                theta_d, X.reshape(B * K, n), U.reshape(B * K, -1)
+                theta_d, X.reshape(B * K, n), U.reshape(B * K, -1), cdt
             )
             return nx.reshape(B, K, n)
 
         def dynamics_jac(X, U):  # time-major (T, B, ...)
             T, B, n = X.shape
             _, A, Bm = dyn_model.batch_value_and_jac(
-                theta_d, X.reshape(T * B, n), U.reshape(T * B, -1)
+                theta_d, X.reshape(T * B, n), U.reshape(T * B, -1), cdt
             )
             return (
                 A.reshape(T, B, n, n),
