@@ -103,51 +103,76 @@ def _backward(A, Bm, cx, cu, cxx, cuu, cux, reg, settings):
     T-step loop per solver iteration. Returns (k, K, dv1, dv2, adjoints,
     G) with G (T, B, m) = exact dJ/dU, identical to the standalone
     recursion.
+
+    Block formulation (round-5 long-horizon latency work): with the
+    composite linearization C = [A | B] (B, n, n+m), the whole Q-model
+    assembles in THREE fat batched GEMMs per step —
+
+        [Qx; Qu]           = [cx; cu] + Cᵀ Vx        (ridden with lam)
+        Q = [[Qxx, Qxu],
+             [Qux, Quu]]   = Cblock + (Cᵀ Vxx) C
+
+    and the value recursion collapses through S = [I; K] (B, n+m, n)
+    and d = [0; k]:
+
+        Vx'  = Sᵀ ([Qx; Qu] + Q d)
+        Vxx' = Sᵀ Q S,   Δ₁ = kᵀQu,  Δ₂ = ½ dᵀ Q d
+
+    — algebraically identical to the classical per-block recursion but
+    ~half the per-step kernel count, with every GEMM at the fatter
+    (n+m)-wide shape (better MXU tiling for the small state dims MPC
+    uses). Cblock and the stacked cost vector are assembled ONCE for the
+    whole horizon outside the scan (vectorized over T).
     """
     B = A.shape[1]
+    n = A.shape[-1]
     m = Bm.shape[-1]
-    eye_m = jnp.eye(m, dtype=A.dtype)
+    nm = n + m
+
+    # whole-horizon precomputation (big vectorized ops, outside the scan)
+    C = jnp.concatenate([A, Bm], axis=-1)  # (T, B, n, n+m)
+    qc = jnp.concatenate([cx[:-1], cu], axis=-1)  # (T, B, n+m)
+    cuxT = jnp.swapaxes(cux, -1, -2)  # (T, B, n, m)
+    top = jnp.concatenate([cxx[:-1], cuxT], axis=-1)  # (T, B, n, n+m)
+    bot = jnp.concatenate([cux, cuu], axis=-1)  # (T, B, m, n+m)
+    cblock = jnp.concatenate([top, bot], axis=-2)  # (T, B, n+m, n+m)
+    eye_b = jnp.broadcast_to(jnp.eye(n, dtype=A.dtype), (B, n, n))
+    reg_eye = reg[:, None, None] * jnp.eye(m, dtype=A.dtype)
 
     def step(carry, inp):
         Vx, Vxx, dv1, dv2, lam = carry
-        At, Bt, cxt, cut, cxxt, cuut, cuxt = inp
-        AtT = jnp.swapaxes(At, -1, -2)
-        BtT = jnp.swapaxes(Bt, -1, -2)
-        # open-loop costate: g_t = cu_t + B^T lam_{t+1}
-        g = cut + jnp.einsum("bji,bj->bi", Bt, lam)
-        lam_new = cxt + jnp.einsum("bji,bj->bi", At, lam)
-        Qx = cxt + jnp.einsum("bji,bj->bi", At, Vx)
-        Qu = cut + jnp.einsum("bji,bj->bi", Bt, Vx)
-        AV = AtT @ Vxx  # (B,n,n)
-        BV = BtT @ Vxx  # (B,m,n)
-        Qxx = cxxt + AV @ At
-        Quu = cuut + BV @ Bt
-        Qux = cuxt + BV @ At
-        Quu_reg = Quu + reg[:, None, None] * eye_m
+        Ct, qct, cbt = inp
+        # [Qx;Qu] and the costate map share one Cᵀ[...] GEMM
+        P = jnp.stack([Vx, lam], axis=-1)  # (B, n, 2)
+        R = jnp.einsum("bnp,bnk->bpk", Ct, P)  # (B, n+m, 2)
+        q = qct + R[..., 0]  # [Qx; Qu]
+        lamg = qct + R[..., 1]  # [lam'; g]
+        M = jnp.einsum("bnp,bnq->bpq", Ct, Vxx)  # Cᵀ Vxx (B, n+m, n)
+        Q = cbt + M @ Ct  # (B, n+m, n+m)
+        Qu = q[:, n:]
+        Quu_reg = Q[:, n:, n:] + reg_eye
         kK = solve_spd(
-            Quu_reg, jnp.concatenate([Qu[..., None], Qux], axis=-1)
+            Quu_reg,
+            jnp.concatenate([Qu[..., None], Q[:, n:, :n]], axis=-1),
         )
         k, K = -kK[..., 0], -kK[..., 1:]
-        KT = jnp.swapaxes(K, -1, -2)
-        QuxT = jnp.swapaxes(Qux, -1, -2)
-        Quu_k = jnp.einsum("bij,bj->bi", Quu, k)
-        Vx_new = (
-            Qx
-            + jnp.einsum("bji,bj->bi", K, Quu_k)
-            + jnp.einsum("bji,bj->bi", K, Qu)
-            + jnp.einsum("bji,bj->bi", Qux, k)
-        )
-        Vxx_new = Qxx + KT @ (Quu @ K) + KT @ Qux + QuxT @ K
+        S = jnp.concatenate([eye_b, K], axis=1)  # (B, n+m, n)
+        Qd = jnp.einsum("bpj,bj->bp", Q[:, :, n:], k)  # Q [0; k]
+        Vx_new = jnp.einsum("bpn,bp->bn", S, q + Qd)
+        T1 = Q @ S  # (B, n+m, n)
+        Vxx_new = jnp.einsum("bpn,bpm->bnm", S, T1)
         Vxx_new = (Vxx_new + jnp.swapaxes(Vxx_new, -1, -2)) / 2.0
         dv1 = dv1 + jnp.einsum("bi,bi->b", k, Qu)
-        dv2 = dv2 + 0.5 * jnp.einsum("bi,bi->b", k, Quu_k)
-        return (Vx_new, Vxx_new, dv1, dv2, lam_new), (k, K, Vx_new, g)
+        dv2 = dv2 + 0.5 * jnp.einsum("bi,bi->b", k, Qd[:, n:])
+        return (Vx_new, Vxx_new, dv1, dv2, lamg[:, :n]), (
+            k, K, Vx_new, lamg[:, n:],
+        )
 
     zero = jnp.zeros(B, A.dtype)
     (_, _, dv1, dv2, _), (k, K, Vxs, G) = jax.lax.scan(
         step,
         (cx[-1], cxx[-1], zero, zero, cx[-1]),
-        (A, Bm, cx[:-1], cu, cxx[:-1], cuu, cux),
+        (C, qc, cblock),
         reverse=True,
         unroll=settings.inner_unroll,
     )
