@@ -290,8 +290,14 @@ def dense_stack(flax_params) -> Tuple[Tuple[jax.Array, jax.Array], ...]:
 
 # Minimum rows before the Pallas forward beats XLA's pipelined Denses
 # (measured on v5e: crossover ~32k, competitive from ~8k; see module
-# docstring). Below this plain jnp is used.
-FUSED_MIN_ROWS = 8192
+# docstring). Below this plain jnp is used. The crossover was measured
+# on STANDALONE applies; inside a lax.scan step the fused kernel also
+# collapses ~11 HLO ops into one launch, which matters in the
+# latency-bound long-horizon solver — hence the env override
+# (GMT_FUSED_MIN_ROWS) for bench exploration.
+import os as _os
+
+FUSED_MIN_ROWS = int(_os.environ.get("GMT_FUSED_MIN_ROWS", "8192"))
 
 
 def mlp_apply(x: jax.Array, params, dtype=None) -> jax.Array:
