@@ -81,6 +81,7 @@ def _flagship_setup(env_name, horizon, max_iters):
         inner_unroll=int(os.environ.get("BENCH_UNROLL", "1")),
         ls_materialize=os.environ.get("BENCH_LS", "auto"),
         compute_dtype=os.environ.get("BENCH_DTYPE", "float32"),
+        fused_ls=os.environ.get("BENCH_FUSED", "off"),
     )
     norm = Normalizer.identity(x_size, u_size)
     return (env, env_params, env_name, horizon, max_iters, norm, policy,

@@ -80,6 +80,12 @@ class SolverSettings:
     # quadratization, and all solver state stay f32. Long-horizon
     # measurements: see BENCHMARKS.md round-5 H=50 rows.
     compute_dtype: str = "float32"
+    # Fused forward-scan step (ops/fused_ls.py): ONE Pallas program per
+    # timestep for control law + dynamics MLP + stage cost in the batch
+    # solver's rollout/line-search/recompute scans. "auto" enables it on
+    # TPU (where the long-horizon scans are per-kernel-latency bound),
+    # "on"/"off" force it. Applies only to the batch-native path.
+    fused_ls: str = "off"
 
 
 class ILQRSolution(struct.PyTreeNode):
