@@ -25,6 +25,9 @@ EXPERT_VERSION = {
     "pendulum_swingup": 2,
     "humanoid_walk": 3,
     "walker_walk": 2,  # v2: balance-only policy -> phase-PD walking gait
+    # v2: open-loop CPG (~28) -> CEM-tuned state-indexed phase-PD gait
+    # (74.3); closed-loop + DAgger-queryable like walker/humanoid
+    "cheetah_run": 2,
 }
 
 
@@ -354,7 +357,14 @@ def walker_walk_phase_action(w, obs: jax.Array) -> jax.Array:
 # speed servo. CEM-tuned over the differentiable engine by
 # scripts/tune_cheetah_pd.py; set to that run's printed ``w =`` vector.
 # None => the open-loop CPG below remains the cheetah expert (v1).
-_CHEETAH_PD_W = None
+# Round-5 CEM (40 iters, pop 64, 16 seeds x 1000 steps, TPU): 74.3/1000
+# vs the open-loop CPG's ~28 (runs/r5_cheetah_cem.log).
+_CHEETAH_PD_W = [
+    4.4399, 0.7766, 0.1664, 0.6158, 0.2430, 0.4822, 0.4537, -0.1115,
+    0.8024, 0.2871, 2.3145, 4.0082, 3.4129, -0.2521, 0.1118, -0.8263,
+    -0.0015, -0.2373, -0.4679, 2.9426, 0.2765, 2.6832, 0.5018, 0.3891,
+    2.3996, 0.2229, -0.1315,
+]
 
 # numpy, NOT jnp: a module-level jnp call initializes a JAX backend at
 # import time — before runners can apply JAX_PLATFORMS=cpu via
