@@ -89,15 +89,27 @@ def gait_action(w, obs):
     return jnp.clip(u, -1.0, 1.0)
 
 
+NOISE = (
+    float(args[args.index("--noise") + 1]) if "--noise" in args else 0.0
+)
+
+
 def episode(w, key):
     s = env.reset(P, key)
 
-    def body(s, _):
+    def body(s, k):
         obs = env.observe(P, s)
-        s, r = env.step(P, s, gait_action(w, obs))
+        u = gait_action(w, obs)
+        if NOISE > 0.0:
+            # score the gait under the DART collection noise it must
+            # survive (collect_expert_trajectories noise_sigma): the
+            # noise-free optimum collapses at sigma 0.25 (measured:
+            # 22.9 -> 10.3 over 300 steps)
+            u = jnp.clip(u + NOISE * jax.random.normal(k, u.shape), -1, 1)
+        s, r = env.step(P, s, u)
         return s, r
 
-    _, rs = jax.lax.scan(body, s, None, length=STEPS)
+    _, rs = jax.lax.scan(body, s, jax.random.split(key, STEPS))
     return jnp.sum(rs)
 
 
