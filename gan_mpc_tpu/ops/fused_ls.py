@@ -49,13 +49,16 @@ _INTERPRET = False
 
 
 def _control_mlp_cost(
-    x3, Xref, Uref, alphaBA, k, K, goal, goal_u, wvec, Ws, bs,
+    x3, Xref, Uref, alphaBA, k, K_rows, goal, goal_u, wvec, Ws, bs,
     *, gs, action_goal_squared, ag_scale, bf16,
 ):
     """The fused step math on jnp arrays (works inside the Pallas kernel
     AND as the plain-XLA fallback).
 
-    x3 (B, A, n); Xref (B, n); Uref/k (B, m); alphaBA (B, A); K (B, m, n);
+    x3 (B, A, n); Xref (B, n); Uref/k (B, m); alphaBA (B, A);
+    K_rows: m-tuple of (B, n) feedback-gain rows (pre-sliced — Mosaic
+    supports only 2D gathers, so the kernel reads per-row 2D slices from
+    the ref instead of indexing a loaded 3D array);
     goal (B, gs); goal_u (B, m); wvec (1, 4) = [w_u, w_x, w_ag, gain];
     Ws/bs: MLP layers with W0 pre-split into (W0x (n, h), W0u (m, h)).
     Returns nx (B, A, n), u (B, A, m), cost (B, A).
@@ -68,7 +71,7 @@ def _control_mlp_cost(
     dx = x3 - Xref[:, None, :]  # (B, A, n)
     # batched control-law matvec as m unrolled VPU reductions (m is tiny)
     du = jnp.stack(
-        [jnp.sum(K[:, j, None, :] * dx, axis=-1) for j in range(m)],
+        [jnp.sum(Kj[:, None, :] * dx, axis=-1) for Kj in K_rows],
         axis=-1,
     )  # (B, A, m)
     u = Uref[:, None, :] + alphaBA[..., None] * k[:, None, :] + du
@@ -115,7 +118,7 @@ def _control_mlp_cost(
 def _kernel(
     x_ref, xref_ref, uref_ref, alpha_ref, k_ref, K_ref, goal_ref,
     goalu_ref, w_ref, *wb_refs_and_outs,
-    n_layers, gs, action_goal_squared, ag_scale, bf16,
+    m, n_layers, gs, action_goal_squared, ag_scale, bf16,
 ):
     wb = wb_refs_and_outs[: 2 * n_layers + 1]
     nx_ref, u_ref, cost_ref = wb_refs_and_outs[2 * n_layers + 1:]
@@ -124,9 +127,11 @@ def _kernel(
         wb[2 * i + 1][:] for i in range(1, n_layers)
     ]
     bs = [wb[2][:]] + [wb[2 * i + 2][:] for i in range(1, n_layers)]
+    # per-row 2D reads of the feedback gains (3D gathers unsupported)
+    K_rows = tuple(K_ref[:, j, :] for j in range(m))
     nx, u, cost = _control_mlp_cost(
         x_ref[:], xref_ref[:], uref_ref[:], alpha_ref[:], k_ref[:],
-        K_ref[:], goal_ref[:], goalu_ref[:], w_ref[:], Ws, bs,
+        K_rows, goal_ref[:], goalu_ref[:], w_ref[:], Ws, bs,
         gs=gs, action_goal_squared=action_goal_squared,
         ag_scale=ag_scale, bf16=bf16,
     )
@@ -170,9 +175,10 @@ def fused_ls_step(
     bs = [b0] + [b for _, b in layers[1:]]
 
     if not ((_on_tpu() or _INTERPRET) and B % _B_TILE == 0):
+        K_rows = tuple(K[:, j, :] for j in range(m))
         return _control_mlp_cost(
-            x3, Xref, Uref, alphaBA, k, K, goal, goal_u, wvec, Ws, bs,
-            gs=gs, action_goal_squared=action_goal_squared,
+            x3, Xref, Uref, alphaBA, k, K_rows, goal, goal_u, wvec, Ws,
+            bs, gs=gs, action_goal_squared=action_goal_squared,
             ag_scale=ag_scale, bf16=bf16,
         )
     return _pallas_ls_step(
@@ -232,6 +238,7 @@ def _pallas_ls_step(
 
     kernel = functools.partial(
         _kernel,
+        m=m,
         n_layers=n_layers,
         gs=gs,
         action_goal_squared=action_goal_squared,
