@@ -82,6 +82,7 @@ def _flagship_setup(env_name, horizon, max_iters):
         ls_materialize=os.environ.get("BENCH_LS", "auto"),
         compute_dtype=os.environ.get("BENCH_DTYPE", "float32"),
         fused_ls=os.environ.get("BENCH_FUSED", "off"),
+        num_alphas=int(os.environ.get("BENCH_ALPHAS", "16")),
     )
     norm = Normalizer.identity(x_size, u_size)
     return (env, env_params, env_name, horizon, max_iters, norm, policy,

@@ -28,7 +28,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-SMALL_MAX = 8
+# Unroll threshold: action dims across the zoo reach m=12 (humanoid),
+# and the rolled fori_loop's dynamic slicing serializes ~6 ops per pivot
+# INSIDE every Riccati scan step (measured round 5: the m=12 backward
+# scan was 47% of the H=50 per-iteration cost). The unrolled form's
+# static slices fuse; the bilevel's (T*m)^2 systems stay rolled.
+SMALL_MAX = 16
 
 
 def _solve_spd_rolled(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
