@@ -105,6 +105,17 @@ def run(config: Config, log_fn=print):
             "env": config.env.to_dict(),
             "model": config.expert_prediction.model.to_dict(),
             "train": tcfg.to_dict(),
+            # Identity of the DATA this predictor was trained on: a
+            # cached predictor must be invalidated when the underlying
+            # expert data changes (expert version bump, physics or
+            # collection-knob change) — otherwise downstream imitation
+            # silently runs with goals from a stale expert under a
+            # mismatched normalizer (measured round 5: the cheetah v2
+            # retrain reused the v1-data predictor and trained to 2.4
+            # vs the v1 pipeline's 30.5).
+            "collection_fingerprint": common.collection_fingerprint(
+                config
+            ),
             "loss": {
                 "train_loss": round(train_losses[-1], 5),
                 "test_loss": round(test_loss, 5),
@@ -135,6 +146,23 @@ def load_pretrained_expert(config: Config, x_size: int, u_size: int):
         config.get_path("mpc.model.expert.load_id"),
     )
     saved = io.load_json(os.path.join(run_dir, "config.json"))
+    # Data-identity guard: a predictor trained on a different expert
+    # data generation (scripted-expert version bump, physics change,
+    # collection knobs) is stale — its goals come from the OLD expert
+    # under the OLD normalizer stats. Only enforced when the saved run
+    # recorded its fingerprint (new field; old runs predate it and an
+    # explicit load_id is an intentional override).
+    saved_fp = saved.get("collection_fingerprint")
+    if (
+        saved_fp is not None
+        and config.get_path("mpc.model.expert.load_id") is None
+        and saved_fp != common.collection_fingerprint(config)
+    ):
+        raise FileNotFoundError(
+            f"expert predictor at {run_dir} was trained on data "
+            f"fingerprint {saved_fp}, current is "
+            f"{common.collection_fingerprint(config)}; retraining"
+        )
     model = common.build_expert_model_from_dict(
         saved["model"], x_size, u_size
     )
