@@ -43,6 +43,15 @@ W_INIT = (
 
 env = make_env("cheetah_run")
 P = env.default_params()
+# --shift-torso M: tune ON the shifted physics (the imitation configs'
+# domain shift). Measured: the nominal-tuned gait collapses 74.3 -> 13.9
+# under torso x3 — a shift-brittle expert caps the whole shifted-env
+# imitation ladder at ~its degraded score.
+if "--shift-torso" in args:
+    P = P.replace(
+        body_mass_torso=P.body_mass_torso
+        * float(args[args.index("--shift-torso") + 1])
+    )
 
 # seed: bounding-gait guess — back/front legs antiphase, thigh->shin->
 # foot phase lag within each leg, ~3 Hz
