@@ -18,6 +18,16 @@ import numpy as np
 from gan_mpc_tpu.data.trajectories import TrajectorySet
 
 
+# Cheetah expert-variant selector (round-5 expert-quality scaling
+# study): "nominal" = CEM-tuned on default physics (74.3/1000 nominal,
+# 13.9 under the quality config's torso x3 shift); "shift3" = CEM-tuned
+# WITH the torso x3 shift in the objective (25.2 under shift). Folded
+# into EXPERT_VERSION below so the collection fingerprint separates the
+# variants' trajectory stores.
+import os as _os
+
+_CHEETAH_VARIANT = _os.environ.get("GMT_CHEETAH_EXPERT", "nominal")
+
 # Bump an env's entry whenever its scripted expert's BEHAVIOR changes —
 # collection_fingerprint folds this in so cached trajectory stores
 # labeled by an older expert are re-collected, not silently reused.
@@ -27,7 +37,9 @@ EXPERT_VERSION = {
     "walker_walk": 2,  # v2: balance-only policy -> phase-PD walking gait
     # v2: open-loop CPG (~28) -> CEM-tuned state-indexed phase-PD gait
     # (74.3); closed-loop + DAgger-queryable like walker/humanoid
-    "cheetah_run": 2,
+    "cheetah_run": (
+        2 if _CHEETAH_VARIANT == "nominal" else f"2-{_CHEETAH_VARIANT}"
+    ),
 }
 
 
@@ -359,12 +371,26 @@ def walker_walk_phase_action(w, obs: jax.Array) -> jax.Array:
 # None => the open-loop CPG below remains the cheetah expert (v1).
 # Round-5 CEM (40 iters, pop 64, 16 seeds x 1000 steps, TPU): 74.3/1000
 # vs the open-loop CPG's ~28 (runs/r5_cheetah_cem.log).
-_CHEETAH_PD_W = [
+_CHEETAH_PD_W_NOMINAL = [
     4.4399, 0.7766, 0.1664, 0.6158, 0.2430, 0.4822, 0.4537, -0.1115,
     0.8024, 0.2871, 2.3145, 4.0082, 3.4129, -0.2521, 0.1118, -0.8263,
     -0.0015, -0.2373, -0.4679, 2.9426, 0.2765, 2.6832, 0.5018, 0.3891,
     2.3996, 0.2229, -0.1315,
 ]
+# --shift-torso 3.0 CEM continuation of the nominal vector (25.2/1000
+# UNDER the shift vs the nominal gait's 13.9 there; see
+# runs/r5_cheetah_cem_shifted.log).
+_CHEETAH_PD_W_SHIFT3 = [
+    4.3872, 1.1501, 0.0224, 0.7340, 0.2481, 0.5644, 0.5884, -0.4845,
+    0.8556, 0.2607, 1.1576, 4.1905, 3.3727, -0.1481, -0.1347, -0.9588,
+    0.2874, -0.0683, -0.2184, 5.4376, 0.3975, 2.3777, 0.6126, 0.1848,
+    1.8013, -0.4503, -0.1062,
+]
+_CHEETAH_PD_W = (
+    _CHEETAH_PD_W_SHIFT3
+    if _CHEETAH_VARIANT == "shift3"
+    else _CHEETAH_PD_W_NOMINAL
+)
 
 # numpy, NOT jnp: a module-level jnp call initializes a JAX backend at
 # import time — before runners can apply JAX_PLATFORMS=cpu via
